@@ -124,3 +124,166 @@ def convert_sga_stack(sd: Mapping[str, Any], num_blocks: int,
 def convert_attention_pooler(sd: Mapping[str, Any], prefix: str = "attention_pooler") -> Dict[str, Any]:
     # reference: attention_pooler.attention.0 == the Linear inside Sequential
     return {"attention": linear(sd, f"{prefix}.attention.0")}
+
+
+# ---------------------------------------------------------------------------
+# ResNet backbones -> models.resnet.ResNetBackbone params
+# ---------------------------------------------------------------------------
+
+_RESNET_DEPTHS = {
+    "resnet18": (2, 2, 2, 2),
+    "resnet34": (3, 4, 6, 3),
+    "resnet50": (3, 4, 6, 3),
+}
+_RESNET_BOTTLENECK = {"resnet18": False, "resnet34": False, "resnet50": True}
+
+
+def convert_resnet_torchvision(sd: Mapping[str, Any], variant: str,
+                               prefix: str = "") -> Dict[str, Any]:
+    """torchvision resnet naming (conv1/bn1/layer{1-4}.{b}.convN/bnN/
+    downsample.{0,1}) -> flax tree. This is the converter to run on real
+    pretrained torchvision checkpoints."""
+    p = f"{prefix}." if prefix else ""
+    bottleneck = _RESNET_BOTTLENECK[variant]
+    params: Dict[str, Any] = {
+        "conv1": conv2d(sd, f"{p}conv1"),
+        "bn1": frozen_batchnorm(sd, f"{p}bn1"),
+    }
+    n_convs = 3 if bottleneck else 2
+    for s, depth in enumerate(_RESNET_DEPTHS[variant], start=1):
+        for b in range(depth):
+            bp = f"{p}layer{s}.{b}"
+            blk: Dict[str, Any] = {}
+            for c in range(1, n_convs + 1):
+                blk[f"conv{c}"] = conv2d(sd, f"{bp}.conv{c}")
+                blk[f"bn{c}"] = frozen_batchnorm(sd, f"{bp}.bn{c}")
+            if f"{bp}.downsample.0.weight" in sd:
+                blk["downsample_conv"] = conv2d(sd, f"{bp}.downsample.0")
+                blk["downsample_bn"] = frozen_batchnorm(sd, f"{bp}.downsample.1")
+            params[f"layer{s}_block{b}"] = blk
+    return params
+
+
+def convert_resnet_hf(sd: Mapping[str, Any], variant: str,
+                      prefix: str = "") -> Dict[str, Any]:
+    """HF transformers.ResNetModel naming (embedder.embedder.convolution,
+    encoder.stages.{s}.layers.{b}.layer.{i}.convolution/normalization,
+    .shortcut.convolution/normalization) -> flax tree. Used by the parity
+    tests (torchvision is absent from this image; HF ResNet is the same
+    v1.5 graph)."""
+    p = f"{prefix}." if prefix else ""
+    bottleneck = _RESNET_BOTTLENECK[variant]
+    params: Dict[str, Any] = {
+        "conv1": conv2d(sd, f"{p}embedder.embedder.convolution"),
+        "bn1": frozen_batchnorm(sd, f"{p}embedder.embedder.normalization"),
+    }
+    n_convs = 3 if bottleneck else 2
+    for s, depth in enumerate(_RESNET_DEPTHS[variant]):
+        for b in range(depth):
+            bp = f"{p}encoder.stages.{s}.layers.{b}"
+            blk: Dict[str, Any] = {}
+            for c in range(n_convs):
+                blk[f"conv{c + 1}"] = conv2d(sd, f"{bp}.layer.{c}.convolution")
+                blk[f"bn{c + 1}"] = frozen_batchnorm(
+                    sd, f"{bp}.layer.{c}.normalization")
+            if f"{bp}.shortcut.convolution.weight" in sd:
+                blk["downsample_conv"] = conv2d(sd, f"{bp}.shortcut.convolution")
+                blk["downsample_bn"] = frozen_batchnorm(
+                    sd, f"{bp}.shortcut.normalization")
+            params[f"layer{s + 1}_block{b}"] = blk
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Full reference checkpoints (best-model.pt state dicts)
+# ---------------------------------------------------------------------------
+
+def convert_resnet_vqa_checkpoint(sd: Mapping[str, Any], variant: str,
+                                  num_attention_blocks: int = 3) -> Dict[str, Any]:
+    """A reference ResnetVQAModel state_dict (resnet_vqa_model.py:30-99)
+
+    -> models.resnet_vqa.ResnetVQAModel params. Lets a user load a trained
+    reference ``best-model.pt`` into this framework directly."""
+    proj = "downscale_layer" if variant == "resnet50" else "upscale_layer"
+    return {
+        "vision_model": convert_resnet_torchvision(sd, variant, "vision_model"),
+        proj: {"conv": conv_transpose2d_as_conv(sd, proj)},
+        # reference lang_model is T5Stack: lang_model.embed_tokens/block/...
+        "lang_model": convert_t5_encoder(
+            sd, num_layers=12, prefix="lang_model",
+            shared_key="lang_model.embed_tokens.weight"),
+        "sga_modules": convert_sga_stack(sd, num_attention_blocks),
+        "attention_pooler": convert_attention_pooler(sd),
+        "classification_layer": linear(sd, "classification_layer"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# T5 (HF t5-base naming: encoder.block.{i}.layer.{0,1,2}...)
+# ---------------------------------------------------------------------------
+
+def _convert_t5_attention(sd: Mapping[str, Any], prefix: str,
+                          has_rel_bias: bool) -> Dict[str, Any]:
+    out = {
+        "q": linear(sd, f"{prefix}.q"),
+        "k": linear(sd, f"{prefix}.k"),
+        "v": linear(sd, f"{prefix}.v"),
+        "o": linear(sd, f"{prefix}.o"),
+    }
+    if has_rel_bias:
+        out["relative_attention_bias"] = embedding(
+            sd, f"{prefix}.relative_attention_bias")
+    return out
+
+
+def _rmsnorm(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {"weight": _np(sd[_j(prefix, "weight")])}
+
+
+def convert_t5_encoder(sd: Mapping[str, Any], num_layers: int,
+                       prefix: str = "encoder",
+                       shared_key: str = "shared.weight") -> Dict[str, Any]:
+    """HF T5 encoder state dict -> models.t5.T5Encoder params."""
+    params: Dict[str, Any] = {
+        "shared": {"embedding": _np(sd[shared_key])},
+        "final_layer_norm": _rmsnorm(sd, f"{prefix}.final_layer_norm"),
+    }
+    for i in range(num_layers):
+        b = f"{prefix}.block.{i}"
+        params[f"block_{i}"] = {
+            "self_attn": _convert_t5_attention(
+                sd, f"{b}.layer.0.SelfAttention", has_rel_bias=(i == 0)),
+            "self_attn_layer_norm": _rmsnorm(sd, f"{b}.layer.0.layer_norm"),
+            "ff": {
+                "wi": linear(sd, f"{b}.layer.1.DenseReluDense.wi"),
+                "wo": linear(sd, f"{b}.layer.1.DenseReluDense.wo"),
+            },
+            "ff_layer_norm": _rmsnorm(sd, f"{b}.layer.1.layer_norm"),
+        }
+    return params
+
+
+def convert_t5_decoder(sd: Mapping[str, Any], num_layers: int,
+                       prefix: str = "decoder",
+                       shared_key: str = "shared.weight") -> Dict[str, Any]:
+    """HF T5 decoder state dict -> models.t5.T5Decoder params."""
+    params: Dict[str, Any] = {
+        "shared": {"embedding": _np(sd[shared_key])},
+        "final_layer_norm": _rmsnorm(sd, f"{prefix}.final_layer_norm"),
+    }
+    for i in range(num_layers):
+        b = f"{prefix}.block.{i}"
+        params[f"block_{i}"] = {
+            "self_attn": _convert_t5_attention(
+                sd, f"{b}.layer.0.SelfAttention", has_rel_bias=(i == 0)),
+            "self_attn_layer_norm": _rmsnorm(sd, f"{b}.layer.0.layer_norm"),
+            "cross_attn": _convert_t5_attention(
+                sd, f"{b}.layer.1.EncDecAttention", has_rel_bias=False),
+            "cross_attn_layer_norm": _rmsnorm(sd, f"{b}.layer.1.layer_norm"),
+            "ff": {
+                "wi": linear(sd, f"{b}.layer.2.DenseReluDense.wi"),
+                "wo": linear(sd, f"{b}.layer.2.DenseReluDense.wo"),
+            },
+            "ff_layer_norm": _rmsnorm(sd, f"{b}.layer.2.layer_norm"),
+        }
+    return params

@@ -1,0 +1,169 @@
+"""End-to-end logit parity of ResnetVQAModel against a torch golden pipeline.
+
+The reference ResnetVQAModel can't be instantiated here (its __init__
+downloads pretrained weights, resnet_vqa_model.py:51-62), so this test wires
+the identical forward dataflow (ref :101-165) out of torch pieces: HF ResNet
+(frozen eval), ConvTranspose2d(k3,s1,p1), HF T5 encoder, the reference's own
+SGA modules (imported read-only), a pooler and classifier — then requires the
+flax model with converted weights to reproduce the log-softmax logits and NLL
+loss.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+sys.path.insert(0, "/root/reference")
+from model.multi_head_vision_text_attn import SGA as RefSGA  # noqa: E402
+
+import dataclasses  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from t5_resnet_vqa_tpu.models.resnet_vqa import ResnetVQAModel  # noqa: E402
+from t5_resnet_vqa_tpu.models.t5 import T5Config  # noqa: E402
+from t5_resnet_vqa_tpu.ops import AttentionConfig  # noqa: E402
+from t5_resnet_vqa_tpu.utils import torch_convert as tc  # noqa: E402
+
+from test_resnet_parity import _hf_resnet, _randomize_bn_stats  # noqa: E402
+from test_t5_parity import _hf_config  # noqa: E402
+
+
+class _SGACfg:
+    """Duck-typed config for the reference SGA module at test geometry."""
+
+    def __init__(self, hidden, heads, ff, dropout=0.0):
+        self.HIDDEN_SIZE = hidden
+        self.MULTI_HEAD = heads
+        self.HIDDEN_SIZE_HEAD = hidden // heads
+        self.FF_SIZE = ff
+        self.DROPOUT_R = dropout
+        self.LAYER = 5
+
+
+def _torch_golden_forward(resnet, proj, t5enc, sgas, pooler_lin, cls_lin,
+                          images, q_ids, q_mask, labels):
+    """Wiring exactly per resnet_vqa_model.py:101-165."""
+    with torch.no_grad():
+        feats = resnet(images).last_hidden_state          # frozen C5, NCHW
+    vis = proj(feats)                                     # convT -> hidden
+    text = t5enc(input_ids=q_ids, attention_mask=q_mask).last_hidden_state
+    flat = vis.view(vis.shape[0], vis.shape[1], -1).permute(0, 2, 1)
+    fused = None
+    for sga in sgas:
+        fused = sga(text, flat)
+        flat = fused
+    att = torch.softmax(pooler_lin(fused), dim=1).transpose(1, 2)
+    pooled = torch.bmm(att, fused).squeeze(1)
+    logits = cls_lin(pooled)
+    log_probs = torch.nn.functional.log_softmax(logits, dim=-1)
+    loss = torch.nn.NLLLoss()(log_probs, labels)
+    return log_probs, loss, feats
+
+
+@pytest.mark.slow
+def test_resnet_vqa_full_parity(rng):
+    torch.manual_seed(0)
+    hidden, heads, answers = 64, 4, 17
+    t5_cfg = T5Config(vocab_size=256, d_model=hidden, d_kv=16, d_ff=128,
+                      num_layers=2, num_decoder_layers=2, num_heads=4)
+    sga_cfg = AttentionConfig(hidden_size=hidden, num_heads=heads,
+                              ff_size=hidden, dropout_rate=0.0)
+    variant = "resnet18"
+
+    # torch golden pieces
+    resnet = _hf_resnet(variant)
+    with torch.no_grad():
+        _randomize_bn_stats(resnet)
+    proj = torch.nn.ConvTranspose2d(512, hidden, 3, 1, 1).eval()
+    hf_t5 = transformers.T5EncoderModel(_hf_config(t5_cfg)).eval()
+    sgas = [RefSGA(_SGACfg(hidden, heads, hidden),
+                   _SGACfg(hidden, heads, hidden)).eval() for _ in range(3)]
+    pooler_lin = torch.nn.Linear(hidden, 1).eval()
+    cls_lin = torch.nn.Linear(hidden, answers).eval()
+
+    B = 2
+    images = rng.standard_normal((B, 3, 64, 64), dtype=np.float32)
+    q_ids = rng.integers(2, 256, size=(B, 16)).astype(np.int64)
+    q_mask = np.ones((B, 16), np.int64)
+    q_mask[1, 9:] = 0
+    labels = np.array([3, 11])
+
+    with torch.no_grad():
+        want_lp, want_loss, want_feats = _torch_golden_forward(
+            resnet, proj, hf_t5, sgas, pooler_lin, cls_lin,
+            torch.tensor(images), torch.tensor(q_ids),
+            torch.tensor(q_mask), torch.tensor(labels))
+
+    # assemble flax params from the individual converters
+    sga_sd = {}
+    for i, sga in enumerate(sgas):
+        for k, v in sga.state_dict().items():
+            sga_sd[f"sga_modules.{i}.{k}"] = v
+    params = {"params": jax.tree.map(jnp.asarray, {
+        "vision_model": tc.convert_resnet_hf(resnet.state_dict(), variant),
+        "upscale_layer": {"conv": tc.conv_transpose2d_as_conv(proj.state_dict(), "")},
+        "lang_model": tc.convert_t5_encoder(hf_t5.state_dict(), 2),
+        "sga_modules": tc.convert_sga_stack(sga_sd, 3),
+        "attention_pooler": {"attention": tc.linear(pooler_lin.state_dict(), "")},
+        "classification_layer": tc.linear(cls_lin.state_dict(), ""),
+    })}
+
+    model = ResnetVQAModel(
+        answer_spaces=answers, vision_model_name=variant, t5_config=t5_cfg,
+        sga_config=sga_cfg)
+    log_probs, loss, feat_dict = model.apply(
+        params,
+        question_input_ids=jnp.asarray(q_ids),
+        question_attention_masks=jnp.asarray(q_mask),
+        image_tensors=jnp.asarray(images.transpose(0, 2, 3, 1)),
+        annotation_ids=jnp.asarray(labels),
+        return_features=True,
+    )
+
+    np.testing.assert_allclose(np.asarray(log_probs), want_lp.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    assert np.isclose(float(loss), float(want_loss), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(feat_dict["features"]).transpose(0, 3, 1, 2),
+        want_feats.numpy(), rtol=1e-3, atol=1e-3)
+
+
+def test_resnet_vqa_grads_skip_frozen_vision():
+    """stop_gradient parity with the reference's no_grad backbone:
+
+    vision grads must be exactly zero, SGA/classifier grads nonzero."""
+    hidden = 32
+    t5_cfg = T5Config(vocab_size=64, d_model=hidden, d_kv=8, d_ff=64,
+                      num_layers=1, num_decoder_layers=1, num_heads=4)
+    sga_cfg = AttentionConfig(hidden_size=hidden, num_heads=4, ff_size=hidden)
+    model = ResnetVQAModel(answer_spaces=5, vision_model_name="resnet18",
+                           t5_config=t5_cfg, sga_config=sga_cfg,
+                           num_attention_blocks=1)
+
+    B = 2
+    batch = dict(
+        question_input_ids=jnp.ones((B, 8), jnp.int32),
+        question_attention_masks=jnp.ones((B, 8), jnp.int32),
+        image_tensors=jnp.ones((B, 64, 64, 3), jnp.float32),
+        annotation_ids=jnp.zeros((B,), jnp.int32),
+    )
+    params = model.init(jax.random.PRNGKey(0), **batch)
+
+    def loss_fn(p):
+        _, loss = model.apply(p, **batch)
+        return loss
+
+    grads = jax.grad(loss_fn)(params)["params"]
+    vis_norm = sum(
+        float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads["vision_model"]))
+    cls_norm = sum(
+        float(jnp.abs(g).sum())
+        for g in jax.tree.leaves(grads["classification_layer"]))
+    assert vis_norm == 0.0
+    assert cls_norm > 0.0
