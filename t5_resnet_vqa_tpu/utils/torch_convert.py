@@ -195,6 +195,126 @@ def convert_resnet_hf(sd: Mapping[str, Any], variant: str,
 
 
 # ---------------------------------------------------------------------------
+# FPN (torchvision FeaturePyramidNetwork naming) -> models.fpn.FPN params
+# ---------------------------------------------------------------------------
+
+def convert_fpn(sd: Mapping[str, Any], prefix: str = "fpn",
+                num_levels: int = 4) -> Dict[str, Any]:
+    """Accepts both torchvision layouts: ``inner_blocks.{i}.weight`` (old)
+    and ``inner_blocks.{i}.0.weight`` (Conv2dNormActivation, new)."""
+    p = f"{prefix}." if prefix else ""
+
+    def conv_key(block: str, i: int) -> str:
+        for cand in (f"{p}{block}.{i}", f"{p}{block}.{i}.0"):
+            if f"{cand}.weight" in sd:
+                return cand
+        raise KeyError(f"no {block}[{i}] conv under prefix {prefix!r}")
+
+    params: Dict[str, Any] = {}
+    for i in range(num_levels):
+        params[f"inner_{i}"] = conv2d(sd, conv_key("inner_blocks", i))
+        params[f"layer_{i}"] = conv2d(sd, conv_key("layer_blocks", i))
+    return params
+
+
+def convert_faster_rcnn_backbone(sd: Mapping[str, Any],
+                                 prefix: str = "vision_model") -> Dict[str, Any]:
+    """torchvision ``fasterrcnn_resnet50_fpn(...).backbone`` state dict
+    (BackboneWithFPN: body.* is a torchvision resnet50 with FrozenBatchNorm2d,
+    fpn.* the FPN) -> (resnet_params, fpn_params) for FasterRcnnVQAModel."""
+    p = f"{prefix}." if prefix else ""
+    body = {k[len(f"{p}body."):]: v for k, v in sd.items()
+            if k.startswith(f"{p}body.")}
+    # FrozenBatchNorm2d state dicts have no num_batches_tracked and use the
+    # same weight/bias/running_* names, so the resnet converter applies.
+    resnet_params = convert_resnet_torchvision(body, "resnet50")
+    fpn_params = convert_fpn(sd, prefix=f"{p}fpn")
+    return resnet_params, fpn_params
+
+
+# ---------------------------------------------------------------------------
+# ViT (HF ViTModel naming) -> models.vit.ViTModel params
+# ---------------------------------------------------------------------------
+
+def convert_vit(sd: Mapping[str, Any], num_layers: int,
+                prefix: str = "") -> Dict[str, Any]:
+    p = f"{prefix}." if prefix else ""
+    params: Dict[str, Any] = {
+        "cls_token": _np(sd[f"{p}embeddings.cls_token"]),
+        "position_embeddings": _np(sd[f"{p}embeddings.position_embeddings"]),
+        "patch_embeddings": conv2d(sd, f"{p}embeddings.patch_embeddings.projection"),
+        "layernorm": layernorm(sd, f"{p}layernorm"),
+        "pooler": linear(sd, f"{p}pooler.dense"),
+    }
+    for i in range(num_layers):
+        lp = f"{p}encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "attention": {
+                "query": linear(sd, f"{lp}.attention.attention.query"),
+                "key": linear(sd, f"{lp}.attention.attention.key"),
+                "value": linear(sd, f"{lp}.attention.attention.value"),
+                "out": linear(sd, f"{lp}.attention.output.dense"),
+            },
+            "layernorm_before": layernorm(sd, f"{lp}.layernorm_before"),
+            "layernorm_after": layernorm(sd, f"{lp}.layernorm_after"),
+            "intermediate": linear(sd, f"{lp}.intermediate.dense"),
+            "output": linear(sd, f"{lp}.output.dense"),
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# RoBERTa (HF RobertaModel naming) -> models.roberta params
+# ---------------------------------------------------------------------------
+
+def convert_roberta_embeddings(sd: Mapping[str, Any],
+                               prefix: str = "embeddings") -> Dict[str, Any]:
+    return {
+        "word_embeddings": embedding(sd, f"{prefix}.word_embeddings"),
+        "position_embeddings": embedding(sd, f"{prefix}.position_embeddings"),
+        "token_type_embeddings": embedding(sd, f"{prefix}.token_type_embeddings"),
+        "LayerNorm": layernorm(sd, f"{prefix}.LayerNorm"),
+    }
+
+
+def convert_roberta_layer(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    return {
+        "query": linear(sd, f"{prefix}.attention.self.query"),
+        "key": linear(sd, f"{prefix}.attention.self.key"),
+        "value": linear(sd, f"{prefix}.attention.self.value"),
+        "attention_output": linear(sd, f"{prefix}.attention.output.dense"),
+        "attention_LayerNorm": layernorm(sd, f"{prefix}.attention.output.LayerNorm"),
+        "intermediate": linear(sd, f"{prefix}.intermediate.dense"),
+        "output": linear(sd, f"{prefix}.output.dense"),
+        "output_LayerNorm": layernorm(sd, f"{prefix}.output.LayerNorm"),
+    }
+
+
+def convert_vit_embeddings(sd: Mapping[str, Any],
+                           prefix: str = "embeddings") -> Dict[str, Any]:
+    return {
+        "cls_token": _np(sd[f"{prefix}.cls_token"]),
+        "position_embeddings": _np(sd[f"{prefix}.position_embeddings"]),
+        "patch_embeddings": conv2d(sd, f"{prefix}.patch_embeddings.projection"),
+    }
+
+
+def convert_vit_layer(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    return {
+        "attention": {
+            "query": linear(sd, f"{prefix}.attention.attention.query"),
+            "key": linear(sd, f"{prefix}.attention.attention.key"),
+            "value": linear(sd, f"{prefix}.attention.attention.value"),
+            "out": linear(sd, f"{prefix}.attention.output.dense"),
+        },
+        "layernorm_before": layernorm(sd, f"{prefix}.layernorm_before"),
+        "layernorm_after": layernorm(sd, f"{prefix}.layernorm_after"),
+        "intermediate": linear(sd, f"{prefix}.intermediate.dense"),
+        "output": linear(sd, f"{prefix}.output.dense"),
+    }
+
+
+# ---------------------------------------------------------------------------
 # Full reference checkpoints (best-model.pt state dicts)
 # ---------------------------------------------------------------------------
 
