@@ -1,0 +1,106 @@
+"""Host-side image preprocessing: decode -> RGB -> resize -> scale/normalize.
+
+Parity with the reference collate's cv2 path
+(resnet_vqa_daquar_dataset.py:153-171): cv2.imread (BGR) -> cvtColor RGB ->
+cv2.resize with the configured interpolation -> float tensor in [0,1]
+(torchvision ToTensor). Output layout is NHWC (TPU-native) instead of the
+reference's NCHW.
+
+A native C++ fast path (native/preproc.cpp, loaded via ctypes) fuses the
+resize + uint8->float32 scale + optional normalize per image; it is bit-exact
+with the cv2 bilinear path for the default strategy and is used when built
+and ``use_native=True``. cv2 remains the fallback and the only path for
+lanczos/bicubic.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+_CV2_INTERP = {
+    "bilinear_interpolation": 1,   # cv2.INTER_LINEAR
+    "lanczos_interpolation": 4,    # cv2.INTER_LANCZOS4
+    "bicubic_interpolation": 2,    # cv2.INTER_CUBIC
+}
+
+
+def _native_lib():
+    from ..native import loader
+    return loader.get_lib()
+
+
+def decode_image(path: str) -> np.ndarray:
+    """File -> RGB uint8 HWC array."""
+    if _HAS_CV2:
+        arr = cv2.imread(path)
+        if arr is None:
+            raise FileNotFoundError(f"cannot decode image: {path}")
+        return cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
+    from PIL import Image  # pragma: no cover
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def load_and_resize_image(
+    path: str,
+    size: Tuple[int, int],
+    interpolation_strategy: str = "bilinear_interpolation",
+) -> np.ndarray:
+    """-> resized RGB uint8 [H, W, 3]."""
+    img = decode_image(path)
+    w, h = size
+    if _HAS_CV2:
+        return cv2.resize(img, (w, h),
+                          interpolation=_CV2_INTERP[interpolation_strategy])
+    from PIL import Image  # pragma: no cover
+    return np.asarray(Image.fromarray(img).resize((w, h)))
+
+
+def finalize_image(
+    img_u8: np.ndarray,
+    normalize: Optional[Tuple[Sequence[float], Sequence[float]]] = None,
+) -> np.ndarray:
+    """uint8 [H, W, 3] -> float32 [H, W, 3] in [0,1], optionally normalized."""
+    out = img_u8.astype(np.float32) / 255.0
+    if normalize is not None:
+        mean, std = normalize
+        out = (out - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+    return out
+
+
+def load_image_batch(
+    paths: Sequence[str],
+    size: Tuple[int, int],
+    interpolation_strategy: str = "bilinear_interpolation",
+    normalize: Optional[Tuple[Sequence[float], Sequence[float]]] = None,
+    use_native: bool = True,
+) -> np.ndarray:
+    """-> [B, H, W, 3] float32 NHWC batch."""
+    w, h = size
+    decoded = [decode_image(p) for p in paths]
+
+    if use_native and interpolation_strategy == "bilinear_interpolation":
+        try:
+            lib = _native_lib()
+            if lib is not None:
+                return lib.resize_scale_batch(decoded, (h, w), normalize)
+        except Exception:
+            pass  # fall back to cv2
+
+    out = np.empty((len(paths), h, w, 3), np.float32)
+    for i, img in enumerate(decoded):
+        if _HAS_CV2:
+            resized = cv2.resize(
+                img, (w, h), interpolation=_CV2_INTERP[interpolation_strategy])
+        else:  # pragma: no cover
+            from PIL import Image
+            resized = np.asarray(Image.fromarray(img).resize((w, h)))
+        out[i] = finalize_image(resized, normalize)
+    return out
