@@ -63,6 +63,7 @@ class DatasetConfig:
     train_batch_size: int = 4
     test_batch_size: int = 16
     interpolation_strategy: str = "bilinear_interpolation"
+    image_size: int = 256               # CNN-family resize target (ref 256^2)
     num_prefetch_batches: int = 2
     num_workers: int = 0
     use_native_preprocessor: bool = True  # C++ resize/pack fast path if built

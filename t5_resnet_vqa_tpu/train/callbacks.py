@@ -1,0 +1,151 @@
+"""Callbacks: checkpointing + early stopping.
+
+Parity with /root/reference/trainer/callbacks.py, with Orbax replacing
+torch.save but the artifact contract preserved under
+``<output_dir>/model_checkpoints/``:
+
+  best-model/              params on metric improvement        (ref :39)
+  model_ckpt_info.json     {epoch, best_score, answer_spaces}  (ref :41-46)
+  checkpoint-model/        rolling epoch params                (ref :112-116)
+  state_dict_checkpoint/   {epoch, opt_state}                  (ref :118-125)
+  final-model/             params on exit                      (ref :53-56)
+  model-metrics.json       {best-score} resume source          (ref :89-92)
+
+One deliberate divergence (SURVEY §7): the reference configures
+patience/threshold but never calls EarlyStopping.__call__ — its trainers
+compare ``avg_wups > best_score`` inline, so patience is inert (ref
+faster_rcnn_vqa_trainer.py:458-461). Here ``EarlyStopping.__call__`` is
+actually wired into the trainer; ``should_stop`` goes True after ``patience``
+bad epochs instead of killing the process.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, List, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..core.logging import Logger
+
+
+def _to_numpy_tree(tree: Any) -> Any:
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+class CheckpointManager:
+    """Orbax-backed artifact store with the reference's file layout."""
+
+    def __init__(self, output_dir: str):
+        self.output_dir = os.path.join(output_dir, "model_checkpoints")
+        os.makedirs(self.output_dir, exist_ok=True)
+        self._ckpt = ocp.StandardCheckpointer()
+
+    def _path(self, name: str) -> str:
+        return os.path.join(os.path.abspath(self.output_dir), name)
+
+    def save_tree(self, name: str, tree: Any) -> None:
+        self._ckpt.save(self._path(name), _to_numpy_tree(tree), force=True)
+        self._ckpt.wait_until_finished()
+
+    def restore_tree(self, name: str, target: Optional[Any] = None) -> Any:
+        return self._ckpt.restore(self._path(name), target)
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self._path(name))
+
+    def write_json(self, name: str, obj: Any) -> None:
+        with open(os.path.join(self.output_dir, name), "w") as f:
+            json.dump(obj, f)
+
+    def read_json(self, name: str) -> Optional[Any]:
+        p = os.path.join(self.output_dir, name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+
+class Callbacks:
+    """Base: best-model saving (ref callbacks.py:10-57)."""
+
+    def __init__(self, logger: Logger, output_dir: str,
+                 save_final_model: bool = False):
+        self.logger = logger
+        self.save_final_model = save_final_model
+        self.ckpt = CheckpointManager(output_dir)
+        self.best_score = 0.0
+        self.mode = "max"
+        self.threshold = 0.0
+
+    def better_score(self, score: float) -> bool:
+        if self.mode == "max":
+            return (score - self.best_score) > self.threshold
+        return (self.best_score - score) > self.threshold
+
+    def save_checkpoint(self, params: Any, epoch: int,
+                        answer_spaces: List[str]) -> None:
+        self.logger.log_message(
+            f"Saving new best-model with F-Score: {self.best_score:.4f}")
+        self.ckpt.save_tree("best-model", params)
+        self.ckpt.write_json("model_ckpt_info.json", {
+            "epoch": epoch,
+            "best_score": self.best_score,
+            "answer_spaces": list(answer_spaces),
+        })
+
+    def exit_training(self, params: Any) -> None:
+        self.logger.log_block(
+            f"Exiting from training early. Best model score: "
+            f"{self.best_score:.4f}. Saving final model: "
+            f"{self.save_final_model} ")
+        if self.save_final_model:
+            self.logger.log_message("Saving model ...")
+            self.ckpt.save_tree("final-model", params)
+            self.logger.log_message("Done.")
+
+
+class EarlyStopping(Callbacks):
+    """Patience/threshold early stopping — wired for real (see module doc)."""
+
+    def __init__(self, logger: Logger, output_dir: str,
+                 save_final_model: bool = False, patience: int = 5,
+                 mode: str = "max", threshold: float = 0.01):
+        super().__init__(logger, output_dir, save_final_model)
+        self.patience = patience
+        self.mode = mode
+        self.threshold = threshold
+        self.best_score = 0.0 if mode == "max" else float("inf")
+        self.num_bad_epoch = 0
+        self.should_stop = False
+
+        metrics = self.ckpt.read_json("model-metrics.json")
+        if metrics is not None:                      # resume (ref :89-92)
+            self.best_score = metrics["best-score"]
+
+    def __call__(self, params: Any, score: float, epoch: int,
+                 answer_spaces: List[str]) -> None:
+        if self.better_score(score):
+            self.best_score = score
+            self.num_bad_epoch = 0
+            self.save_checkpoint(params, epoch, answer_spaces)
+            self.ckpt.write_json("model-metrics.json", {"best-score": score})
+        else:
+            self.num_bad_epoch += 1
+            self.logger.log_new_line()
+            self.logger.log_message(
+                f"Bad Epoch. Total num bad epoch: {self.num_bad_epoch}")
+            if self.num_bad_epoch >= self.patience:
+                self.should_stop = True
+
+    def save_epoch_checkpoint(self, params: Any) -> None:
+        self.logger.log_new_line()
+        self.logger.log_message("Saving Epoch Checkpoint")
+        self.ckpt.save_tree("checkpoint-model", params)
+
+    def save_state_dict_checkpoint(self, epoch: int, opt_state: Any) -> None:
+        self.ckpt.save_tree("state_dict_checkpoint", {
+            "epoch": np.asarray(epoch), "optimizer": opt_state})

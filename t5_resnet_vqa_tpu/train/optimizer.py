@@ -1,0 +1,141 @@
+"""Optax optimizer with per-module LR groups + linear warmup/decay schedule.
+
+Parity targets:
+  * param groups with distinct LRs (faster_rcnn_vqa_trainer.py:231-267):
+    vision tower -> vision_lr, language tower -> lm_encoder_lr (decoder ->
+    lm_decoder_lr), channel-scaler/SGA/pooler/fusing modules -> the
+    reference's hardcoded 5e-4 (config key ``fusion_lr``), classifier ->
+    classifier_lr, anything else -> default_lr.
+  * AdamW(weight_decay=0.1, amsgrad=True) (vit_daquar_config.json:40-44).
+  * ``get_linear_schedule_with_warmup`` with warmup = min(cfg or total/10,
+    max_warmup_steps) (faster_rcnn_vqa_trainer.py:109-111, 279-287).
+  * global-norm grad clipping 1.0 BEFORE the update (ref :399-400).
+
+The groups are expressed as an ``optax.multi_transform`` over path-derived
+labels, so the whole update stays one fused jit program — no per-group python
+loops at step time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import optax
+
+from ..core.config import LRSchedulerConfig, OptimizerConfig
+
+# top-level param-tree module name -> LR group (reference trainer grouping)
+DEFAULT_GROUP_MAP: Dict[str, str] = {
+    "vision_model": "vision",
+    "fpn": "vision",
+    "vit_embeddings": "vision",
+    "lang_model": "lm_encoder",
+    "lang_encoder": "lm_encoder",
+    "roberta_embeddings": "lm_encoder",
+    "lang_decoder": "lm_decoder",
+    "upscale_layer": "fusion",
+    "downscale_layer": "fusion",
+    "sga_modules": "fusion",
+    "attention_pooler": "fusion",
+    "fusing_layer": "fusion",
+    "layer_norm": "fusion",
+    "classification_layer": "classifier",
+}
+
+GROUPS = ("vision", "lm_encoder", "lm_decoder", "fusion", "classifier",
+          "default")
+
+
+def linear_schedule_with_warmup(base_lr: float, num_warmup_steps: int,
+                                num_training_steps: int) -> optax.Schedule:
+    """HF get_linear_schedule_with_warmup: ramp 0->lr over warmup, then
+    linear decay to 0 at num_training_steps."""
+
+    def schedule(step):
+        import jax.numpy as jnp
+        step = jnp.asarray(step, jnp.float32)
+        warmup = jnp.maximum(1.0, float(num_warmup_steps))
+        total = float(num_training_steps)
+        warm = step / warmup
+        decay = jnp.maximum(0.0, (total - step) / jnp.maximum(1.0, total - warmup))
+        return base_lr * jnp.where(step < warmup, warm, decay)
+
+    return schedule
+
+
+def _group_lrs(opt_cfg: OptimizerConfig) -> Dict[str, float]:
+    return {
+        "vision": opt_cfg.vision_lr,
+        "lm_encoder": opt_cfg.lm_encoder_lr,
+        "lm_decoder": opt_cfg.lm_decoder_lr,
+        "fusion": opt_cfg.fusion_lr,
+        "classifier": opt_cfg.classifier_lr,
+        "default": opt_cfg.default_lr,
+    }
+
+
+def _base_transform(opt_cfg: OptimizerConfig, schedule) -> optax.GradientTransformation:
+    kwargs = dict(opt_cfg.kwargs)
+    wd = kwargs.get("weight_decay", 0.0)
+    amsgrad = kwargs.get("amsgrad", False)
+    opt_type = opt_cfg.type
+
+    if opt_type in ("AdamW", "Adam"):
+        scale = (optax.scale_by_amsgrad() if amsgrad
+                 else optax.scale_by_adam())
+        parts = [scale]
+        if opt_type == "AdamW" and wd:
+            parts.append(optax.add_decayed_weights(wd))
+        parts.append(optax.scale_by_learning_rate(schedule))
+        return optax.chain(*parts)
+    if opt_type == "SGD":
+        return optax.sgd(schedule, momentum=kwargs.get("momentum", 0.0))
+    if opt_type == "Lamb":
+        return optax.lamb(schedule, weight_decay=wd)
+    if opt_type == "Adafactor":
+        return optax.adafactor(schedule)
+    raise ValueError(f"unsupported optimizer type {opt_type!r}")
+
+
+def label_params(params: Any,
+                 group_map: Optional[Dict[str, str]] = None) -> Any:
+    """Label each leaf by its top-level module's LR group."""
+    gm = group_map or DEFAULT_GROUP_MAP
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    labels = []
+    for path, _ in flat:
+        top = None
+        for entry in path:
+            key = getattr(entry, "key", None)
+            if isinstance(key, str):
+                top = key
+                break
+        labels.append(gm.get(top, "default"))
+    return jax.tree_util.tree_unflatten(treedef, labels)
+
+
+def build_optimizer(
+    opt_cfg: OptimizerConfig,
+    sched_cfg: LRSchedulerConfig,
+    num_training_steps: int,
+    gradient_clipping: Optional[float] = 1.0,
+    group_map: Optional[Dict[str, str]] = None,
+):
+    """Returns (optimizer, label_fn, schedules_by_group).
+
+    ``schedules_by_group`` lets the trainer log per-group LRs each step like
+    the reference (:345-348)."""
+    warmup = sched_cfg.resolve_warmup(num_training_steps)
+    schedules = {
+        g: linear_schedule_with_warmup(lr, warmup, num_training_steps)
+        for g, lr in _group_lrs(opt_cfg).items()
+    }
+    transforms = {g: _base_transform(opt_cfg, schedules[g]) for g in GROUPS}
+
+    label_fn = lambda params: label_params(params, group_map)
+    tx = optax.multi_transform(transforms, label_fn)
+    if gradient_clipping:
+        tx = optax.chain(optax.clip_by_global_norm(gradient_clipping), tx)
+    return tx, label_fn, schedules

@@ -1,0 +1,487 @@
+"""Unified VQA trainer: one implementation for all model families.
+
+The reference carries three ~90%-identical trainer classes
+(trainer/{faster_rcnn,vit,cross_attention}_vqa_trainer.py — SURVEY §2 C14);
+this is the single TPU-native replacement. Behavior parity:
+
+  * constructor signature mirrors Trainer(model, trainer_kwargs,
+    optimizer_kwargs, lr_scheduler_kwargs, callbacks_kwargs, dataset_kwargs)
+    via ``VQATrainer.from_config`` taking the six-group Config.
+  * startup logging: param table (name/shape/numel/trainable), dataloader
+    summary, optimizer groups, scheduler, callbacks (ref :68-148).
+  * per-epoch: train_one_epoch with 10%-interval step logs incl. per-group
+    LRs + secs/batch (ref :326-363), epoch train WUPS (ref :368-378),
+    valid_one_epoch with per-sample WUPS, best-model checkpointing and a
+    ``validation_predictions/<epoch>_validation_predictions.json`` dump
+    (ref :408-480).
+  * KeyboardInterrupt -> save final model and stop (ref :305-310).
+
+TPU-native differences:
+  * train/eval steps are single jit-compiled XLA programs with donated
+    params/optimizer state (no per-module python loops at step time);
+  * input batches are produced by a background prefetcher and transferred
+    while the previous step runs;
+  * an optional ``Mesh`` shards the batch over the "data" axis and the
+    transformer matmuls over "model" (parallel/sharding.py); gradients
+    all-reduce via XLA collectives — capability the reference lacks;
+  * EarlyStopping patience is honored (documented divergence).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core import constants
+from ..core.config import Config
+from ..core.logging import ExperimentTracker, Logger
+from ..data import (
+    DaquarCnnCollate,
+    DaquarDataset,
+    DaquarVitCollate,
+    DataLoader,
+    Prefetcher,
+    load_answer_spaces,
+)
+from ..eval.wups import average_wups, wup_measure, wups_mode
+from ..parallel import sharding as shd
+from ..utils import convert_time_to_readable_format
+from .callbacks import EarlyStopping
+from .factory import CNN_FAMILY, build_model, model_family
+from .optimizer import build_optimizer
+
+_EVAL_ONLY_KEYS = ("answers", "questions", "image_fns")
+
+
+def _device_batch(batch: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Strip host-only fields; keep the arrays the models accept."""
+    return {k: v for k, v in batch.items()
+            if k not in _EVAL_ONLY_KEYS and k != "_valid"}
+
+
+class VQATrainer:
+    def __init__(
+        self,
+        model,
+        config: Config,
+        answer_spaces: List[str],
+        train_dataset=None,
+        test_dataset=None,
+        params: Optional[Any] = None,
+        mesh=None,
+        tokenizer=None,
+    ):
+        self.config = config
+        self.model = model
+        self.family = model_family(config.model)
+        self.answer_spaces = [a.strip("\n") for a in answer_spaces]
+        self.mesh = mesh
+
+        tk = config.trainer
+        self.epochs = tk.epochs
+        self.output_dir = tk.output_dir
+        os.makedirs(self.output_dir, exist_ok=True)
+
+        self.logger = Logger(self.output_dir)
+        self.tracker = ExperimentTracker(
+            self.output_dir, project="t5-resnet-vqa-tpu",
+            config=config.to_dict())
+
+        self.logger.log_message(
+            f"WUPS metric mode: {wups_mode()}")
+
+        # --- data ---
+        self._init_dataloaders(train_dataset, test_dataset, tokenizer)
+
+        # --- params ---
+        self._rng = jax.random.PRNGKey(tk.seed)
+        if params is None:
+            params = self._init_params()
+        if self.mesh is not None:
+            params = shd.shard_params(params, self.mesh)
+        self.params = params
+        self._log_param_table()
+
+        # --- optimizer + schedule (warmup parity ref :109-111) ---
+        self.num_training_steps = max(1, self.total_train_batch * self.epochs)
+        self.tx, self._label_fn, self._schedules = build_optimizer(
+            config.optimizer, config.lr_scheduler, self.num_training_steps,
+            gradient_clipping=tk.gradient_clipping)
+        self.opt_state = jax.jit(self.tx.init)(self.params)
+        self.global_step = 0
+
+        # --- callbacks ---
+        cb = config.callbacks
+        self.callbacks = EarlyStopping(
+            self.logger, self.output_dir,
+            save_final_model=cb.save_final_model, patience=cb.patience,
+            mode=cb.mode, threshold=cb.threshold)
+
+        if tk.load_from_checkpoint:
+            self._try_resume()
+
+        self._log_startup_summary()
+        self._build_steps()
+
+    # ------------------------------------------------------------------ init
+
+    def _init_dataloaders(self, train_dataset, test_dataset, tokenizer):
+        dk = self.config.dataset
+        if train_dataset is None:
+            train_dataset = DaquarDataset(dk.root_data_dir, dk.train_csv_file,
+                                          dk.images_dir, "train")
+        if test_dataset is None:
+            test_dataset = DaquarDataset(dk.root_data_dir, dk.test_csv_file,
+                                         dk.images_dir, "val")
+
+        seed = self.config.trainer.seed
+        if self.family == CNN_FAMILY:
+            dims = (dk.image_size, dk.image_size)
+            train_collate = DaquarCnnCollate(
+                self.answer_spaces, dk.interpolation_strategy,
+                resizing_dimensions=dims,
+                lang_model=dk.language_model_tokenizer, seed=seed,
+                tokenizer=tokenizer, use_native=dk.use_native_preprocessor)
+            test_collate = DaquarCnnCollate(
+                self.answer_spaces, dk.interpolation_strategy,
+                resizing_dimensions=dims,
+                lang_model=dk.language_model_tokenizer, eval_mode=True,
+                seed=seed, tokenizer=tokenizer,
+                use_native=dk.use_native_preprocessor)
+        else:
+            train_collate = DaquarVitCollate(
+                self.answer_spaces, lang_model=dk.language_model_tokenizer,
+                seed=seed, tokenizer=tokenizer,
+                use_native=dk.use_native_preprocessor)
+            test_collate = DaquarVitCollate(
+                self.answer_spaces, lang_model=dk.language_model_tokenizer,
+                eval_mode=True, seed=seed, tokenizer=tokenizer,
+                use_native=dk.use_native_preprocessor)
+
+        self.train_dataloader = DataLoader(
+            train_dataset, train_collate, dk.train_batch_size, shuffle=True,
+            seed=seed, drop_remainder=dk.drop_remainder)
+        self.test_dataloader = DataLoader(
+            test_dataset, test_collate, dk.test_batch_size, shuffle=False,
+            drop_remainder=False)
+        self.num_prefetch = dk.num_prefetch_batches
+        self.train_batch_size = dk.train_batch_size
+        self.test_batch_size = dk.test_batch_size
+        self.total_train_batch = len(self.train_dataloader)
+        self.ten_percent_train_batch = max(
+            1, int(self.total_train_batch
+                   * self.config.trainer.log_every_fraction))
+
+    def _sample_batch(self):
+        for batch in self.train_dataloader:
+            return _device_batch(batch)
+        raise RuntimeError("empty train dataloader")
+
+    def _init_params(self):
+        batch = self._sample_batch()
+        self._rng, init_rng, drop_rng = jax.random.split(self._rng, 3)
+        variables = self.model.init(
+            {"params": init_rng, "dropout": drop_rng}, **batch,
+            deterministic=True)
+        return variables["params"]
+
+    def _try_resume(self):
+        """Auto-resume (entry script :24-26 + optimizer resume ref :269-277)."""
+        ck = self.callbacks.ckpt
+        if ck.exists("best-model"):
+            self.params = ck.restore_tree("best-model", self.params)
+            if self.mesh is not None:
+                self.params = shd.shard_params(self.params, self.mesh)
+            self.logger.log_line()
+            self.logger.log_message("Loaded from Best Model: best-model")
+        if ck.exists("state_dict_checkpoint"):
+            target = {"epoch": np.asarray(0), "optimizer": self.opt_state}
+            restored = ck.restore_tree("state_dict_checkpoint", target)
+            self.opt_state = restored["optimizer"]
+            self.logger.log_line()
+            self.logger.log_message("Loaded Optimizer from Checkpoint")
+
+    # --------------------------------------------------------------- logging
+
+    def _log_param_table(self):
+        prev = ""
+        for path, leaf in jax.tree_util.tree_flatten_with_path(self.params)[0]:
+            name = ".".join(str(getattr(e, "key", e)) for e in path)
+            top = name.split(".")[0]
+            if top != prev:
+                prev = top
+                self.logger.log_block("{:<70} {:<30} {:<30} {:<30}".format(
+                    "Name", "Weight Shape", "Total Parameters", "Trainable"))
+            self.logger.log_message("{:<70} {:<30} {:<30} {:<30}".format(
+                name, str(tuple(leaf.shape)), int(np.prod(leaf.shape)),
+                str(True)))
+
+    def _log_startup_summary(self):
+        dk = self.config.dataset
+        lg = self.logger
+        lg.log_line()
+        lg.log_message("Dataloader:")
+        lg.log_new_line()
+        lg.log_message(f"Root Data Directory: {dk.root_data_dir}")
+        lg.log_message(f"Images Directory: {dk.images_dir}")
+        lg.log_message(f"Train Dataset: {dk.train_csv_file}")
+        lg.log_message(f"Test Dataset: {dk.test_csv_file}")
+        lg.log_message(f"Answer Spaces: {dk.answer_spaces_file}")
+        lg.log_new_line()
+        lg.log_line()
+        lg.log_message(f"Optimizer: {self.config.optimizer.type}")
+        lg.log_new_line()
+        for group, sched in self._schedules.items():
+            lg.log_message(f"model_name: {group}")
+            lg.log_message("{:<30} {}".format("lr", float(sched(0))))
+        lg.log_line()
+        lg.log_message("LR Scheduler: linear_schedule_with_warmup")
+        lg.log_message("{:<30} {}".format(
+            "num_warmup_steps",
+            self.config.lr_scheduler.resolve_warmup(self.num_training_steps)))
+        lg.log_message("{:<30} {}".format(
+            "num_training_steps", self.num_training_steps))
+        lg.log_line()
+        lg.log_message("Callbacks: EarlyStopping")
+        lg.log_new_line()
+        lg.log_message("{:<30} {}".format(
+            "save_final_model", self.callbacks.save_final_model))
+        lg.log_message("{:<30} {}".format("patience", self.callbacks.patience))
+        lg.log_message("{:<30} {}".format("threshold", self.callbacks.threshold))
+        lg.log_message("{:<30} {}".format("mode", self.callbacks.mode))
+        lg.log_line()
+        devs = jax.devices()
+        lg.log_message(f"Device: {devs[0].platform} and Device Count: {len(devs)}")
+        if self.mesh is not None:
+            lg.log_message(f"Mesh: {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}")
+        lg.log_new_line()
+
+    # ----------------------------------------------------------------- steps
+
+    def _build_steps(self):
+        model = self.model
+        tx = self.tx
+
+        def train_step(params, opt_state, batch, dropout_rng):
+            def loss_fn(p):
+                log_probs, loss = model.apply(
+                    {"params": p}, **batch, deterministic=False,
+                    rngs={"dropout": dropout_rng})
+                return loss, log_probs
+
+            (loss, log_probs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            preds = jnp.argmax(log_probs, axis=-1)
+            return new_params, new_opt_state, loss, preds
+
+        def eval_step(params, batch):
+            log_probs, loss = model.apply({"params": params}, **batch,
+                                          deterministic=True)
+            # ref convert_logits_to_predictions: argmax(exp(log_probs))
+            # == argmax(log_probs) (:482-487)
+            return loss, jnp.argmax(log_probs, axis=-1)
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(eval_step)
+
+    def _put_batch(self, batch):
+        batch = _device_batch(batch)
+        if self.mesh is not None:
+            batch = shd.shard_batch(batch, self.mesh)
+        return batch
+
+    def _current_lrs(self) -> Dict[str, float]:
+        return {g: float(s(self.global_step))
+                for g, s in self._schedules.items()}
+
+    # ------------------------------------------------------------------ train
+
+    def train(self):
+        self.logger.log_line()
+        self.logger.log_message(f"Start Training: Max Epoch {self.epochs}")
+        self.logger.log_new_line()
+        self.total_training_time = 0.0
+
+        try:
+            for epoch in range(self.epochs):
+                self.cur_epoch = epoch
+                self.logger.log_line()
+                self.train_one_epoch()
+                if (self.config.trainer.monitor_test
+                        and epoch >= self.config.trainer.first_val_epoch):
+                    self.valid_one_epoch()
+                if self.callbacks.should_stop:
+                    self.logger.log_message(
+                        f"Early stopping after {epoch + 1} epochs "
+                        f"(patience {self.callbacks.patience})")
+                    break
+        except KeyboardInterrupt:
+            # ref :305-310 — save final model, stop (but don't kill the host)
+            self.callbacks.exit_training(self.params)
+            self.logger.log_line()
+            self.logger.log_message(
+                "Exiting Training due to Keyboard Interrupt")
+            self.tracker.finish()
+            return
+
+        self.callbacks.save_epoch_checkpoint(self.params)
+        self.callbacks.save_state_dict_checkpoint(self.cur_epoch,
+                                                  self.opt_state)
+        self.tracker.finish()
+
+    def train_one_epoch(self):
+        total_loss = 0.0
+        ten_percent_loss = 0.0
+        epoch_time = 0.0
+        ten_percent_time = 0.0
+        train_predictions: List[int] = []
+        train_targets: List[int] = []
+
+        prefetch = Prefetcher(self.train_dataloader, self.num_prefetch)
+        for batch_idx, raw_batch in enumerate(prefetch):
+            batch = self._put_batch(raw_batch)
+            self._rng, drop_rng = jax.random.split(self._rng)
+
+            t0 = time.time()
+            self.params, self.opt_state, loss, preds = self._train_step(
+                self.params, self.opt_state, batch, drop_rng)
+            loss = float(loss)          # syncs; keeps parity with ref logging
+            dt = time.time() - t0
+
+            self.global_step += 1
+            total_loss += loss
+            ten_percent_loss += loss
+            epoch_time += dt
+            ten_percent_time += dt
+
+            train_predictions.extend(np.asarray(preds).tolist())
+            train_targets.extend(
+                np.asarray(raw_batch["annotation_ids"]).tolist())
+
+            log_lrs = "".join(
+                f" - {g} lr: {lr:.2e}" for g, lr in self._current_lrs().items())
+
+            if self.total_train_batch < 10:
+                self.logger.log_message(
+                    f"Epoch: {self.cur_epoch} - iteration "
+                    f"{batch_idx}/{self.total_train_batch} - total loss "
+                    f"{total_loss:.4f}")
+            elif (batch_idx + 1) % self.ten_percent_train_batch == 0:
+                avg_loss = ten_percent_loss / self.ten_percent_train_batch
+                avg_time = ten_percent_time / self.ten_percent_train_batch
+                self.logger.log_message(
+                    f"Epoch {self.cur_epoch} - iter "
+                    f"{batch_idx}/{self.total_train_batch} - total loss "
+                    f"{avg_loss:.4f}" + log_lrs +
+                    f" - secs/batch "
+                    f"{convert_time_to_readable_format(round(avg_time, 4))}")
+                ten_percent_loss = 0.0
+                ten_percent_time = 0.0
+
+        self.total_training_time += epoch_time
+        avg_epoch_loss = total_loss / max(1, self.total_train_batch)
+
+        preds_text = [self.answer_spaces[p] for p in train_predictions]
+        targets_text = [self.answer_spaces[t] for t in train_targets]
+        avg_wups = average_wups(preds_text, targets_text)
+
+        self.logger.log_line()
+        self.logger.log_message(
+            f"Epoch #{self.cur_epoch}: Average Loss {avg_epoch_loss} - "
+            f"Average WUPS Score: {avg_wups:.4f} - Epoch Training Time: "
+            f"{convert_time_to_readable_format(round(epoch_time, 4))} - "
+            f"Total Training Time: "
+            f"{convert_time_to_readable_format(round(self.total_training_time, 4))}")
+
+        self.tracker.log({
+            "epoch": self.cur_epoch,
+            "train_avg_loss": avg_epoch_loss,
+            "train_avg_wups": avg_wups,
+        })
+
+    # ------------------------------------------------------------------- eval
+
+    def valid_one_epoch(self):
+        total_valid_loss = 0.0
+        valid_predictions: List[int] = []
+        valid_targets: List[int] = []
+        valid_questions: List[Any] = []
+        num_batches = 0
+
+        prefetch = Prefetcher(self.test_dataloader, self.num_prefetch)
+        for raw_batch in prefetch:
+            valid = int(raw_batch.get("_valid", len(raw_batch["annotation_ids"])))
+            valid_questions.extend(raw_batch["questions"][:valid])
+            batch = self._put_batch(raw_batch)
+            loss, preds = self._eval_step(self.params, batch)
+            total_valid_loss += float(loss)
+            num_batches += 1
+            valid_predictions.extend(np.asarray(preds)[:valid].tolist())
+            valid_targets.extend(
+                np.asarray(raw_batch["annotation_ids"])[:valid].tolist())
+
+        predictions_dict_list = []
+        wups_scores = []
+        for pred, target, question in zip(valid_predictions, valid_targets,
+                                          valid_questions):
+            pred_text = self.answer_spaces[pred]
+            target_text = self.answer_spaces[target]
+            score = wup_measure(pred_text, target_text)
+            wups_scores.append(score)
+            predictions_dict_list.append({
+                "question_text": question.question_text,
+                "prediction": pred_text,
+                "target": target_text,
+                "wups_score": score,
+            })
+
+        avg_wups = (sum(wups_scores) / len(wups_scores)) if wups_scores else 0.0
+        avg_valid_loss = total_valid_loss / max(1, num_batches)
+
+        # best-model checkpointing + patience (honored; see callbacks.py)
+        self.callbacks(self.params, avg_wups, self.cur_epoch,
+                       self.answer_spaces)
+
+        self.logger.log_line()
+        self.logger.log_message(
+            f"Epoch #{self.cur_epoch}: Average Validation Loss: "
+            f"{avg_valid_loss:.4f} - Average WUPS Score: {avg_wups:.4f}")
+        self.logger.log_new_line()
+
+        pred_dir = os.path.join(self.output_dir, "validation_predictions")
+        os.makedirs(pred_dir, exist_ok=True)
+        with open(os.path.join(
+                pred_dir,
+                f"{self.cur_epoch}_validation_predictions.json"), "w") as f:
+            json.dump(predictions_dict_list, f)
+
+        self.tracker.log({
+            "epoch": self.cur_epoch,
+            "valid_avg_loss": avg_valid_loss,
+            "valid_avg_wups": avg_wups,
+        })
+        self.last_valid_wups = avg_wups
+        self.last_valid_loss = avg_valid_loss
+
+    # ------------------------------------------------------------ convenience
+
+    @classmethod
+    def from_config(cls, config: Config, mesh=None, tokenizer=None):
+        """Reference-entry-point shaped constructor: reads answer spaces and
+        builds the model from config (train_faster_rcnn_vqa.py:52-78)."""
+        dk = config.dataset
+        answer_spaces = load_answer_spaces(
+            os.path.join(dk.root_data_dir, dk.answer_spaces_file))
+        model, _ = build_model(config.model, len(answer_spaces))
+        return cls(model, config, answer_spaces, mesh=mesh,
+                   tokenizer=tokenizer)
