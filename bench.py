@@ -1,0 +1,155 @@
+"""Benchmark: VQA pairs/sec/chip, ResNet50 + T5-base + 3xSGA forward.
+
+North-star metric from BASELINE.json: flagship ResnetVQAModel forward
+throughput on one TPU chip vs the PyTorch-CPU reference-equivalent pipeline
+(the reference publishes no throughput numbers — SURVEY §6 — so the baseline
+is measured here: the same math wired out of HF torch ResNet/T5 plus the
+reference's own SGA modules, eval mode, fp32, reference batch size 4).
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": R}
+Diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+BATCH_TPU = 64
+TPU_WARMUP = 5
+TPU_ITERS = 50
+BATCH_TORCH = 4          # the reference's train batch size
+TORCH_ITERS = 3
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_tpu() -> float:
+    """On-device timing: N data-dependent forward steps inside one jitted
+    fori_loop, one scalar fetch at the end. (Per-dispatch wall timing is
+    meaningless through the async axon tunnel — dispatches return before
+    execution — so the loop forces N sequential executions and the fetch is
+    the only sync point. Per-step cost = (t(N) - t(1)) / (N - 1).)"""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from t5_resnet_vqa_tpu.models.resnet_vqa import ResnetVQAModel
+
+    model = ResnetVQAModel(answer_spaces=170, vision_model_name="resnet50",
+                           dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    batch = dict(
+        question_input_ids=jnp.asarray(
+            rng.integers(2, 32100, size=(BATCH_TPU, 16)), jnp.int32),
+        question_attention_masks=jnp.ones((BATCH_TPU, 16), jnp.int32),
+        image_tensors=jnp.asarray(
+            rng.random((BATCH_TPU, 256, 256, 3)), jnp.float32),
+    )
+    params = model.init(jax.random.PRNGKey(0), **batch,
+                        annotation_ids=None)["params"]
+
+    def forward(p, b):
+        log_probs, _ = model.apply({"params": p}, **b, deterministic=True)
+        return log_probs
+
+    @jax.jit
+    def run_n(p, b, n):
+        def body(_, carry):
+            images, acc = carry
+            lp = forward(p, dict(b, image_tensors=images))
+            # data dependence between iterations (1e-30 * sum can't be
+            # algebraically folded away) so the loop can't be parallelized
+            images = images + (1e-30 * jnp.sum(lp)).astype(images.dtype)
+            return images, acc + jnp.sum(lp)
+        images, acc = jax.lax.fori_loop(
+            0, n, body, (b["image_tensors"], jnp.float32(0)))
+        return acc
+
+    t0 = time.time()
+    _ = float(run_n(params, batch, 1))
+    log(f"tpu compile+first-run: {time.time() - t0:.1f}s "
+        f"(device: {jax.devices()[0].platform})")
+
+    def timed(n):
+        t0 = time.time()
+        _ = float(run_n(params, batch, n))
+        return time.time() - t0
+
+    timed(1)                       # warm the fetch path
+    t1 = min(timed(1) for _ in range(3))
+    tN = min(timed(1 + TPU_ITERS) for _ in range(3))
+    dt = (tN - t1) / TPU_ITERS
+    pairs_per_sec = BATCH_TPU / dt
+    log(f"tpu: t(1)={t1 * 1e3:.1f}ms t({1 + TPU_ITERS})={tN * 1e3:.1f}ms -> "
+        f"{dt * 1e3:.3f} ms/batch({BATCH_TPU}) = {pairs_per_sec:.1f} pairs/s")
+    return pairs_per_sec
+
+
+def bench_torch_cpu() -> float:
+    import numpy as np
+    import torch
+    import transformers
+
+    sys.path.insert(0, "/root/reference")
+    from model.multi_head_vision_text_attn import (
+        SGA, ImageConfiguration, TextConfiguration)
+
+    rn = transformers.ResNetModel(transformers.ResNetConfig(
+        num_channels=3, embedding_size=64,
+        hidden_sizes=[256, 512, 1024, 2048], depths=[3, 4, 6, 3],
+        layer_type="bottleneck", hidden_act="relu")).eval()
+    t5 = transformers.T5EncoderModel(transformers.T5Config(
+        d_model=768, d_kv=64, d_ff=3072, num_layers=12, num_heads=12,
+        feed_forward_proj="relu", tie_word_embeddings=False)).eval()
+    proj = torch.nn.ConvTranspose2d(2048, 768, 3, 1, 1).eval()
+    sgas = [SGA(ImageConfiguration(), TextConfiguration()).eval()
+            for _ in range(3)]
+    pool = torch.nn.Linear(768, 1).eval()
+    cls = torch.nn.Linear(768, 170).eval()
+
+    B = BATCH_TORCH
+    imgs = torch.randn(B, 3, 256, 256)
+    ids = torch.randint(2, 32100, (B, 16))
+    mask = torch.ones(B, 16, dtype=torch.long)
+
+    def fwd():
+        with torch.no_grad():
+            feats = rn(imgs).last_hidden_state
+            vis = proj(feats)
+            text = t5(input_ids=ids, attention_mask=mask).last_hidden_state
+            flat = vis.view(B, 768, -1).permute(0, 2, 1)
+            fused = None
+            for sga in sgas:
+                fused = sga(text, flat)
+                flat = fused
+            att = torch.softmax(pool(fused), dim=1).transpose(1, 2)
+            p = torch.bmm(att, fused).squeeze(1)
+            return torch.nn.functional.log_softmax(cls(p), dim=-1)
+
+    fwd()  # warmup
+    t0 = time.time()
+    for _ in range(TORCH_ITERS):
+        fwd()
+    dt = (time.time() - t0) / TORCH_ITERS
+    pairs_per_sec = B / dt
+    log(f"torch-cpu: {dt * 1e3:.1f} ms/batch({B}) = "
+        f"{pairs_per_sec:.2f} pairs/s")
+    return pairs_per_sec
+
+
+def main():
+    tpu = bench_tpu()
+    baseline = bench_torch_cpu()
+    print(json.dumps({
+        "metric": "vqa_pairs_per_sec_per_chip_resnet50_t5base_fwd",
+        "value": round(tpu, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(tpu / baseline, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
