@@ -68,6 +68,13 @@ def bench_tpu() -> float:
             0, n, body, (b["image_tensors"], jnp.float32(0)))
         return acc
 
+    # The axon tunnel pays a large one-time warmup on the FIRST host fetch
+    # in a process; do it on a trivial program so the model compile below
+    # is measured honestly.
+    t0 = time.time()
+    _ = float(jnp.ones(()).sum())
+    log(f"tunnel warmup: {time.time() - t0:.1f}s")
+
     t0 = time.time()
     _ = float(run_n(params, batch, 1))
     log(f"tpu compile+first-run: {time.time() - t0:.1f}s "
