@@ -15,7 +15,7 @@ import json
 import sys
 import time
 
-BATCH_TPU = 64
+BATCH_TPU = 128   # measured sweet spot (benchmarks/pallas_sga.md sweep: 64/128/256)
 TPU_WARMUP = 5
 TPU_ITERS = 50
 BATCH_TORCH = 4          # the reference's train batch size

@@ -43,25 +43,25 @@ def _interpret_fused(q, k, v):
         return jnp.pad(x, ((0, 0), (0, 0), (0, s_p - x.shape[2]),
                            (0, d_p - D)))
 
-    qp = pad(q, sq_p).reshape(B * H, sq_p, d_p)
-    kp = pad(k, sk_p).reshape(B * H, sk_p, d_p)
-    vp = pad(v, sk_p).reshape(B * H, sk_p, d_p)
+    qp = pad(q, sq_p)
+    kp = pad(k, sk_p)
+    vp = pad(v, sk_p)
 
     kernel = functools.partial(pa._attention_kernel, sk_valid=Sk,
                                scale=1.0 / (D ** 0.5))
     out = pl.pallas_call(
         kernel,
-        grid=(B * H,),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, sq_p, d_p), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, sk_p, d_p), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, sk_p, d_p), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, H, sq_p, d_p), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, H, sk_p, d_p), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, H, sk_p, d_p), lambda i: (i, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, sq_p, d_p), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, sq_p, d_p), q.dtype),
+        out_specs=pl.BlockSpec((1, H, sq_p, d_p), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, sq_p, d_p), q.dtype),
         interpret=True,
     )(qp, kp, vp)
-    return out.reshape(B, H, sq_p, d_p)[:, :, :Sq, :D]
+    return out[:, :, :Sq, :D]
 
 
 @pytest.mark.parametrize("shape", [
