@@ -13,6 +13,11 @@ Pipeline (ref forward :168-227):
 ``return_attentions=True`` additionally returns the stacked ViT attention
 maps (ref generate_answers surfaces output_attentions, :243-245) for the
 attention-rollout heatmaps.
+
+``fuse`` / ``decode_logits`` expose the two halves for the autoregressive
+generation path (models/generation.py) — the working replacement for the
+reference's dead ``generate_answers_beam`` stub (:294-341, which computes
+logits in a loop but never returns; SURVEY §2 C5).
 """
 
 from __future__ import annotations
@@ -39,7 +44,71 @@ class VitVQAModel(nn.Module):
     fusing_dropout: float = 0.5          # ref fusing_layer Dropout (:153)
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.vision_model = ViTModel(self.vit_config, dtype=self.dtype,
+                                     name="vision_model")
+        self.lang_encoder = T5Encoder(self.t5_config, dtype=self.dtype,
+                                      name="lang_encoder")
+        self.lang_decoder = T5Decoder(self.t5_config, dtype=self.dtype,
+                                      name="lang_decoder")
+        self.fusing_layer = nn.Dense(self.t5_config.d_model, dtype=self.dtype,
+                                     name="fusing_layer")
+        self.classification_layer = nn.Dense(self.answer_spaces,
+                                             dtype=self.dtype,
+                                             name="classification_layer")
+        self.fusing_dropout_layer = nn.Dropout(self.fusing_dropout)
+
+    # ------------------------------------------------------------- halves
+
+    def fuse(self, question_input_ids, question_attention_masks,
+             pixel_values, deterministic: bool = True,
+             return_attentions: bool = False):
+        """Frozen ViT pooled CLS + T5-encoder token-0 -> fused [B, d_model]
+        (ref :183-203). Optionally also the ViT attention stack."""
+        if return_attentions:
+            _, pooled_vision, att_maps = self.vision_model(
+                pixel_values, deterministic, return_attentions=True)
+        else:
+            _, pooled_vision = self.vision_model(pixel_values, deterministic)
+            att_maps = None
+        if not self.fine_tune_vision:
+            pooled_vision = jax.lax.stop_gradient(pooled_vision)
+            if att_maps is not None:
+                att_maps = jax.lax.stop_gradient(att_maps)
+
+        enc = self.lang_encoder(question_input_ids, question_attention_masks,
+                                deterministic=deterministic)
+        cls_token = enc[:, 0, :]
+        fused = self.fusing_layer(
+            jnp.concatenate([pooled_vision, cls_token], axis=-1))
+        fused = nn.relu(fused)
+        fused = self.fusing_dropout_layer(fused, deterministic=deterministic)
+        if return_attentions:
+            return fused, att_maps
+        return fused
+
+    def decode_hidden(self, decoder_input_ids, decoder_attention_mask,
+                      fused, deterministic: bool = True):
+        """T5 decoder over the 1-token fused memory (ref :207-212)."""
+        return self.lang_decoder(decoder_input_ids, fused[:, None, :],
+                                 decoder_attention_mask, None,
+                                 deterministic=deterministic)
+
+    def decode_vocab_logits(self, decoder_input_ids, decoder_attention_mask,
+                            fused, deterministic: bool = True):
+        """Vocab logits via the tied T5 LM head (shared embedding transpose,
+        scaled by d_model**-0.5 — t5-base ties word embeddings). Used by the
+        generation path; the classification path uses ``__call__``."""
+        dec = self.decode_hidden(decoder_input_ids, decoder_attention_mask,
+                                 fused, deterministic)
+        embed = self.lang_decoder.variables["params"]["shared"]["embedding"]
+        dec = dec * (self.t5_config.d_model ** -0.5)
+        return jnp.einsum("bsd,vd->bsv", dec,
+                          embed.astype(dec.dtype),
+                          preferred_element_type=jnp.float32)
+
+    # -------------------------------------------------------------- forward
+
     def __call__(
         self,
         question_input_ids: jnp.ndarray,              # [B, Sq]
@@ -55,39 +124,18 @@ class VitVQAModel(nn.Module):
         deterministic: bool = True,
         return_attentions: bool = False,
     ):
-        hidden = self.t5_config.d_model
-
-        # --- frozen ViT -> pooled CLS (ref :183-186) ---
-        vit = ViTModel(self.vit_config, dtype=self.dtype, name="vision_model")
         if return_attentions:
-            _, pooled_vision, att_maps = vit(
-                pixel_values, deterministic, return_attentions=True)
+            fused, att_maps = self.fuse(
+                question_input_ids, question_attention_masks, pixel_values,
+                deterministic, return_attentions=True)
         else:
-            _, pooled_vision = vit(pixel_values, deterministic)
+            fused = self.fuse(question_input_ids, question_attention_masks,
+                              pixel_values, deterministic)
             att_maps = None
-        if not self.fine_tune_vision:
-            pooled_vision = jax.lax.stop_gradient(pooled_vision)
-            if att_maps is not None:
-                att_maps = jax.lax.stop_gradient(att_maps)
 
-        # --- T5 encoder -> token-0 embedding (ref :189-195) ---
-        enc = T5Encoder(self.t5_config, dtype=self.dtype, name="lang_encoder")(
-            question_input_ids, question_attention_masks,
-            deterministic=deterministic)
-        cls_token = enc[:, 0, :]
-
-        # --- fusing layer (ref :150-154, :198-203) ---
-        fused = nn.Dense(hidden, dtype=self.dtype, name="fusing_layer")(
-            jnp.concatenate([pooled_vision, cls_token], axis=-1))
-        fused = nn.relu(fused)
-        fused = nn.Dropout(self.fusing_dropout)(fused,
-                                                deterministic=deterministic)
-
-        # --- T5 decoder over the 1-token memory (ref :207-212) ---
-        dec = T5Decoder(self.t5_config, dtype=self.dtype, name="lang_decoder")(
-            decoder_question_input_ids, fused[:, None, :],
-            decoder_question_attention_masks, None,
-            deterministic=deterministic)
+        dec = self.decode_hidden(decoder_question_input_ids,
+                                 decoder_question_attention_masks, fused,
+                                 deterministic)
 
         # --- last non-pad position (ref :215-219) ---
         S = decoder_question_attention_masks.shape[1]
@@ -97,8 +145,7 @@ class VitVQAModel(nn.Module):
         ans_embedding = jnp.take_along_axis(
             dec, idx[:, None, None], axis=1)[:, 0, :]
 
-        logits = nn.Dense(self.answer_spaces, dtype=self.dtype,
-                          name="classification_layer")(ans_embedding)
+        logits = self.classification_layer(ans_embedding)
         log_probs, loss = log_softmax_nll(logits, annotation_ids)
 
         if return_attentions:
