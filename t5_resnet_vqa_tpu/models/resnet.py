@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -109,21 +110,85 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class StemConv(nn.Module):
+    """The 7x7/s2 stem conv. Owns the standard HWIO [7,7,3,64] ``kernel``
+    param (so converters/checkpoints are unchanged) and computes either the
+    direct strided conv or the space-to-depth fast path."""
+
+    features: int = 64
+    dtype: Dtype = jnp.float32
+    use_s2d: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        C = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(batch_axis=(), in_axis=-2,
+                                         out_axis=-1),
+            (7, 7, C, self.features))
+        if self.use_s2d:
+            return _space_to_depth_stem(x, kernel, self.dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(2, 2), padding=[(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype)
+
+
+def _space_to_depth_stem(x: jnp.ndarray, w7: jnp.ndarray,
+                         dtype) -> jnp.ndarray:
+    """The 7x7/s2 stem conv computed as a space-to-depth 4x4/s1 conv.
+
+    With only 3 input channels the direct stem uses 3/128 of the MXU's
+    contraction lanes; packing 2x2 pixel blocks into 12 channels (the MLPerf
+    ResNet trick) quadruples lane utilization. Derivation: with left-pad 3,
+    y[p] = sum_k x_pad[2p+k] w[k]; writing x_pad in 2-pixel blocks b[q][s]
+    gives y[p] = sum_{m,s} b[p+m][s] w[2m+s] — a 4-tap VALID conv over blocks
+    with channels (s_h, s_w, c). The stored weight layout stays the standard
+    HWIO [7,7,3,64]; the repack below is a few-KB reshape that XLA hoists.
+    Numerics are exact (same multiplies/adds), asserted in
+    tests/test_resnet_parity.py::test_space_to_depth_stem_exact.
+    """
+    B, H, W, C = x.shape
+    # pad: 3 left (conv padding), right up to even block coverage for
+    # outputs p in [0, H/2): need x_pad index up to 2*(H/2-1)+6 = H+4
+    x_pad = jnp.pad(x, ((0, 0), (3, 5), (3, 5), (0, 0)))
+    Hp, Wp = x_pad.shape[1] // 2, x_pad.shape[2] // 2
+    xb = x_pad.reshape(B, Hp, 2, Wp, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    xb = xb.reshape(B, Hp, Wp, 4 * C)                  # (s_h, s_w, c) packed
+
+    # repack [7,7,C,O] -> [4,4,4C,O] with a zero 8th tap
+    O = w7.shape[-1]
+    w8 = jnp.pad(w7, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    wb = w8.reshape(4, 2, 4, 2, C, O).transpose(0, 2, 1, 3, 4, 5)
+    wb = wb.reshape(4, 4, 4 * C, O)
+
+    y = jax.lax.conv_general_dilated(
+        xb.astype(dtype), wb.astype(dtype), window_strides=(1, 1),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype)
+    return y[:, : H // 2, : W // 2, :]
+
+
 class ResNetBackbone(nn.Module):
     """Stem + 4 stages; returns the per-stage feature maps [C2, C3, C4, C5]
 
     (NHWC). The CNN VQA models take C5; the FPN (faster-rcnn variant)
-    consumes all four."""
+    consumes all four. ``stem_s2d`` routes the 7x7/s2 stem through the
+    space-to-depth fast path (identical math, ~4x stem speedup on TPU)."""
 
     variant: str = "resnet50"
     dtype: Dtype = jnp.float32
+    stem_s2d: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
         block_type, depths, widths, expansion = _VARIANTS[self.variant]
         block_cls = BasicBlock if block_type == "basic" else Bottleneck
 
-        x = _conv(64, 7, 2, "conv1", self.dtype)(x)
+        x = StemConv(dtype=self.dtype, use_s2d=self.stem_s2d,
+                     name="conv1")(x)
         x = FrozenBatchNorm(64, self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

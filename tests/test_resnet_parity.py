@@ -67,6 +67,22 @@ def test_resnet_parity(variant, rng):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
 
 
+def test_space_to_depth_stem_exact(rng):
+    """The s2d stem is the same math as the direct 7x7/s2 conv."""
+    import jax.numpy as jnp
+    from t5_resnet_vqa_tpu.models.resnet import StemConv
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3), dtype=np.float32))
+    direct = StemConv(use_s2d=False)
+    fast = StemConv(use_s2d=True)
+    params = direct.init(jax.random.PRNGKey(0), x)
+    a = direct.apply(params, x)
+    b = fast.apply(params, x)
+    assert a.shape == b.shape == (2, 32, 32, 64)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_resnet_output_geometry():
     """256x256 input -> 8x8 C5 map = 64 vision tokens (SURVEY §2 C3)."""
     backbone = ResNetBackbone(variant="resnet18")
