@@ -99,6 +99,7 @@ class TrainerConfig:
     loss_combination_strategy: str = "dynamic_weighted"
     seed: int = 0
     log_every_fraction: float = 0.1      # 10%-interval step logs like the ref
+    trace_dir: str = ""                  # capture a jax.profiler trace here
 
     def validate(self) -> None:
         if self.epochs <= 0:

@@ -1,6 +1,7 @@
 from .cross_attention_vqa import CrossAttentionVitVQAModel
 from .faster_rcnn_vqa import FasterRcnnVQAModel
 from .fpn import FPN
+from .generation import beam_generate, greedy_generate
 from .resnet import ResNetBackbone, resnet_out_channels
 from .resnet_vqa import ResnetVQAModel
 from .roberta import RobertaConfig, RobertaEmbeddings, RobertaLayer
@@ -15,4 +16,5 @@ __all__ = [
     "RobertaConfig", "RobertaEmbeddings", "RobertaLayer",
     "ResnetVQAModel", "FasterRcnnVQAModel", "VitVQAModel",
     "CrossAttentionVitVQAModel",
+    "greedy_generate", "beam_generate",
 ]

@@ -18,7 +18,7 @@ returns the raw C5 map for the CAM heatmap path (ref generate_answers
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

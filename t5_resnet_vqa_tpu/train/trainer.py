@@ -29,7 +29,6 @@ TPU-native differences:
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import time
@@ -40,7 +39,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..core import constants
 from ..core.config import Config
 from ..core.logging import ExperimentTracker, Logger
 from ..data import (
@@ -347,6 +345,13 @@ class VQATrainer:
         train_predictions: List[int] = []
         train_targets: List[int] = []
 
+        trace_ctx = None
+        if self.config.trainer.trace_dir and self.cur_epoch == 0:
+            # device trace of the first epoch's steady-state steps
+            from ..utils.profiling import trace as profiler_trace
+            trace_ctx = profiler_trace(self.config.trainer.trace_dir)
+            trace_ctx.__enter__()
+
         prefetch = Prefetcher(self.train_dataloader, self.num_prefetch)
         for batch_idx, raw_batch in enumerate(prefetch):
             batch = self._put_batch(raw_batch)
@@ -387,6 +392,9 @@ class VQATrainer:
                     f"{convert_time_to_readable_format(round(avg_time, 4))}")
                 ten_percent_loss = 0.0
                 ten_percent_time = 0.0
+
+        if trace_ctx is not None:
+            trace_ctx.__exit__(None, None, None)
 
         self.total_training_time += epoch_time
         avg_epoch_loss = total_loss / max(1, self.total_train_batch)
@@ -482,6 +490,11 @@ class VQATrainer:
         dk = config.dataset
         answer_spaces = load_answer_spaces(
             os.path.join(dk.root_data_dir, dk.answer_spaces_file))
+        # mxp_training: the reference reads this flag but never applies it
+        # (GradScaler/autocast imported unused — SURVEY §2); here it selects
+        # the bfloat16 compute path for real.
+        if config.trainer.mxp_training:
+            config.model.compute_dtype = "bfloat16"
         model, _ = build_model(config.model, len(answer_spaces))
         return cls(model, config, answer_spaces, mesh=mesh,
                    tokenizer=tokenizer)
