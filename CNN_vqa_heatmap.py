@@ -51,6 +51,11 @@ def main(mode: str = "cam"):
     args = p.parse_args()
 
     cfg = Config.from_json(args.config, overrides=args.set)
+    if cfg.trainer.device in ("cpu", "tpu"):
+        try:
+            jax.config.update("jax_platforms", cfg.trainer.device)
+        except Exception:
+            pass
     model, params, answer_spaces, family = load_checkpointed_model(cfg)
 
     dk = cfg.dataset

@@ -29,6 +29,14 @@ def parse_args(default_vision: str = None):
                    help="model(TP)-axis size")
     args = p.parse_args()
     cfg = Config.from_json(args.config, overrides=args.set)
+    if cfg.trainer.device in ("cpu", "tpu"):
+        # honor the config's device field (the reference only logs it);
+        # must happen before any computation is dispatched
+        import jax
+        try:
+            jax.config.update("jax_platforms", cfg.trainer.device)
+        except Exception:
+            pass
     if default_vision and cfg.model.vision_model_name.startswith("google/"):
         # this entry point is the CNN family; config carries a ViT name only
         # when reusing the reference's single shared config file
