@@ -1,0 +1,119 @@
+"""Flagship training-step throughput on one TPU chip.
+
+Measures the FULL production train step (fwd + bwd + grouped-AdamW update +
+global-norm clip 1.0, exactly the program `train/trainer.py:_build_steps`
+jit-compiles) for ResNet50 + T5-base + 3xSGA (`ResnetVQAModel`), the
+BASELINE.json north-star config. The reference publishes no throughput
+numbers (SURVEY.md §6); its train batch is 4 on one GPU.
+
+Timing through the async axon tunnel (see bench.py): N parameter-carrying
+steps inside ONE jitted `lax.fori_loop` — each iteration consumes the
+previous iteration's params, so the chain cannot be overlapped — one scalar
+fetch, per-step = (t(1+N) - t(1)) / N.
+
+Usage:  python benchmarks/bench_train_step.py [batch ...]
+Writes one human table to stderr and one JSON line per batch to stdout.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ITERS = 20
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_batch(batch_size, rng):
+    import jax.numpy as jnp
+    return dict(
+        question_input_ids=jnp.asarray(
+            rng.integers(2, 32100, size=(batch_size, 16)), jnp.int32),
+        question_attention_masks=jnp.ones((batch_size, 16), jnp.int32),
+        image_tensors=jnp.asarray(
+            rng.random((batch_size, 256, 256, 3)), jnp.float32),
+        annotation_ids=jnp.asarray(
+            rng.integers(0, 170, size=(batch_size,)), jnp.int32),
+    )
+
+
+def bench_batch(batch_size):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from t5_resnet_vqa_tpu.core.config import Config
+    from t5_resnet_vqa_tpu.models.resnet_vqa import ResnetVQAModel
+    from t5_resnet_vqa_tpu.train.optimizer import build_optimizer
+
+    model = ResnetVQAModel(answer_spaces=170, vision_model_name="resnet50",
+                           dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    batch = make_batch(batch_size, rng)
+    params = model.init(jax.random.PRNGKey(0), **batch)["params"]
+    cfg = Config()
+    tx, _, _ = build_optimizer(cfg.optimizer, cfg.lr_scheduler,
+                               num_training_steps=10_000,
+                               gradient_clipping=1.0)
+    opt_state = jax.jit(tx.init)(params)
+    base_rng = jax.random.PRNGKey(42)
+
+    @jax.jit
+    def run_n(p, s, b, n):
+        def body(i, carry):
+            p, s, acc = carry
+            def loss_fn(pp):
+                _, loss = model.apply(
+                    {"params": pp}, **b, deterministic=False,
+                    rngs={"dropout": jax.random.fold_in(base_rng, i)})
+                return loss
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = tx.update(grads, s, p)
+            return optax.apply_updates(p, updates), s, acc + loss
+        p, s, acc = jax.lax.fori_loop(0, n, body, (p, s, jnp.float32(0)))
+        return acc
+
+    t0 = time.time()
+    _ = float(run_n(params, opt_state, batch, 1))
+    log(f"B={batch_size}: compile+first-run {time.time() - t0:.1f}s")
+
+    def timed(n):
+        t0 = time.time()
+        _ = float(run_n(params, opt_state, batch, n))
+        return time.time() - t0
+
+    timed(1)
+    t1 = min(timed(1) for _ in range(3))
+    tN = min(timed(1 + ITERS) for _ in range(2))
+    dt = (tN - t1) / ITERS
+    pairs = batch_size / dt
+    log(f"B={batch_size}: {dt * 1e3:.2f} ms/step = {pairs:.0f} pairs/s "
+        f"(t1={t1 * 1e3:.0f}ms tN={tN * 1e3:.0f}ms)")
+    return dt, pairs
+
+
+def main():
+    import jax
+    # burn the one-time tunnel warmup before timing anything
+    t0 = time.time()
+    _ = float(jax.numpy.ones(()).sum())
+    log(f"tunnel warmup: {time.time() - t0:.1f}s "
+        f"(device: {jax.devices()[0].platform})")
+    batches = [int(a) for a in sys.argv[1:]] or [32, 64, 128]
+    for b in batches:
+        dt, pairs = bench_batch(b)
+        print(json.dumps({"metric": "train_step_pairs_per_sec",
+                          "batch": b, "ms_per_step": round(dt * 1e3, 2),
+                          "value": round(pairs, 1), "unit": "pairs/s"}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
