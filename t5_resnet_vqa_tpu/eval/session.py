@@ -1,0 +1,128 @@
+"""Batched VQA inference session — the serving surface.
+
+The reference has no programmatic inference API: its only inference paths are
+the heatmap CLIs' inline loops (CNN_vqa_heatmap.py:89-200,
+ViT_vqa_heatmap.py:62-193). This session is the TPU-native serving
+equivalent: one fixed-shape jit-compiled predict program (so XLA compiles
+exactly once), partial requests padded up to the compiled batch, answers
+decoded against the checkpoint's answer space.
+
+Design for the serving path:
+  * static batch — no shape-polymorphic recompiles in production;
+  * dispatches are async; the only host sync is the final fetch of the
+    decoded batch, so back-to-back ``ask_batch`` calls pipeline on device;
+  * the collate's host preprocessing (native C++ resize path) runs on the
+    caller thread; wrap the session with ``data.Prefetcher`` for bulk jobs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import numpy as np
+
+from ..data.collate import DaquarCnnCollate, DaquarVitCollate
+from ..data.daquar import Annotation, Question, Sample
+
+_HOST_KEYS = ("answers", "questions", "image_fns", "annotation_ids", "_valid")
+
+
+class VQAInferenceSession:
+    """Ask (image, question) pairs against a trained VQA model.
+
+    ``image`` inputs are filesystem paths; preprocessing matches the family's
+    training collate exactly (CNN: unnormalized 256² ToTensor parity; ViT:
+    224² mean/std 0.5 pixel_values).
+    """
+
+    def __init__(self, model, params, answer_spaces: Sequence[str],
+                 family: str, batch_size: int = 8, image_size: int = 256,
+                 interpolation_strategy: str = "bilinear_interpolation",
+                 tokenizer=None):
+        from ..train.factory import CNN_FAMILY  # avoid import cycle
+
+        self.answer_spaces = list(answer_spaces)
+        self.batch_size = int(batch_size)
+        if family == CNN_FAMILY:
+            self.collate = DaquarCnnCollate(
+                self.answer_spaces, interpolation_strategy,
+                resizing_dimensions=(image_size, image_size),
+                eval_mode=True, tokenizer=tokenizer)
+        else:
+            self.collate = DaquarVitCollate(
+                self.answer_spaces, eval_mode=True, tokenizer=tokenizer)
+
+        def predict(p, batch):
+            log_probs, _ = model.apply({"params": p}, **batch,
+                                       deterministic=True)
+            return log_probs
+
+        self._params = params
+        self._predict = jax.jit(predict)
+
+    # ------------------------------------------------------------------ api
+
+    @classmethod
+    def from_checkpoint(cls, config, batch_size: int = 8, tokenizer=None
+                        ) -> "VQAInferenceSession":
+        """Restore best-model + answer spaces from ``config.trainer.output_dir``
+        (the model_ckpt_info.json contract, ref CNN_vqa_heatmap.py:326)."""
+        from ..train.callbacks import CheckpointManager
+        from ..train.factory import build_model
+
+        ckpt = CheckpointManager(config.trainer.output_dir)
+        info = ckpt.read_json("model_ckpt_info.json")
+        if info is None:
+            raise FileNotFoundError(
+                f"no model_ckpt_info.json under {config.trainer.output_dir} "
+                "(train first; the answer space is part of the checkpoint "
+                "contract)")
+        answer_spaces = info["answer_spaces"]
+        model, family = build_model(config.model, len(answer_spaces))
+        params = ckpt.restore_tree("best-model")
+        return cls(model, params, answer_spaces, family,
+                   batch_size=batch_size,
+                   image_size=config.dataset.image_size,
+                   interpolation_strategy=config.dataset.interpolation_strategy,
+                   tokenizer=tokenizer)
+
+    def ask(self, image: str, question: str, top_k: int = 1) -> dict:
+        """Single-request convenience wrapper (pads to the compiled batch)."""
+        return self.ask_batch([(image, question)], top_k=top_k)[0]
+
+    def ask_batch(self, requests: Sequence[Tuple[str, str]],
+                  top_k: int = 1) -> List[dict]:
+        """Each request is (image_path, question_text). Returns per-request
+        ``{"answer", "top_answers", "top_probs"}`` dicts, best first."""
+        out: List[dict] = []
+        for start in range(0, len(requests), self.batch_size):
+            chunk = requests[start:start + self.batch_size]
+            out.extend(self._run_chunk(chunk, top_k))
+        return out
+
+    # ------------------------------------------------------------- internals
+
+    def _run_chunk(self, chunk: Sequence[Tuple[str, str]],
+                   top_k: int) -> List[dict]:
+        dummy = [self.answer_spaces[0]]
+        samples = [
+            Sample(Question(q, f"req_{i}", f"req_{i}"),
+                   Annotation(f"req_{i}", f"req_{i}", list(dummy)), img)
+            for i, (img, q) in enumerate(chunk)
+        ]
+        batch = self.collate(samples)
+        batch = {k: v for k, v in batch.items() if k not in _HOST_KEYS}
+        n = len(chunk)
+        if n < self.batch_size:   # pad to the compiled shape
+            batch = {k: np.concatenate(
+                [v, np.repeat(v[:1], self.batch_size - n, axis=0)])
+                for k, v in batch.items()}
+        log_probs = np.asarray(self._predict(self._params, batch))[:n]
+        order = np.argsort(-log_probs, axis=-1)[:, :top_k]
+        probs = np.exp(np.take_along_axis(log_probs, order, axis=-1))
+        return [{
+            "answer": self.answer_spaces[int(order[i, 0])],
+            "top_answers": [self.answer_spaces[int(j)] for j in order[i]],
+            "top_probs": [float(p) for p in probs[i]],
+        } for i in range(n)]

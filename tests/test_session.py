@@ -1,0 +1,83 @@
+"""VQAInferenceSession: fixed-batch serving wrapper (pad + decode + top-k).
+
+The reference has no programmatic inference API (inference only happens
+inside the heatmap CLIs' loops); the session is new serving surface, so the
+tests pin its contract: compiled-batch padding, answer decoding against the
+checkpoint answer space, top-k ordering, and the checkpoint-contract error.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from t5_resnet_vqa_tpu.core import Config
+from t5_resnet_vqa_tpu.data import make_synthetic_daquar
+from t5_resnet_vqa_tpu.eval import VQAInferenceSession
+from t5_resnet_vqa_tpu.models.resnet_vqa import ResnetVQAModel
+from t5_resnet_vqa_tpu.models.t5 import T5Config
+from t5_resnet_vqa_tpu.ops import AttentionConfig
+from t5_resnet_vqa_tpu.train.factory import CNN_FAMILY
+
+
+@pytest.fixture(scope="module")
+def tiny_session(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("daquar_serve"))
+    root, kw = make_synthetic_daquar(root, num_train=4, num_test=6,
+                                     image_size=64)
+    import os
+    answers = [a.strip("\n") for a in
+               open(os.path.join(root, kw["answer_spaces_file"]))]
+    hidden = 32
+    model = ResnetVQAModel(
+        answer_spaces=len(answers), vision_model_name="resnet18",
+        t5_config=T5Config(vocab_size=32128, d_model=hidden, d_kv=8,
+                           d_ff=64, num_layers=1, num_decoder_layers=1,
+                           num_heads=4),
+        sga_config=AttentionConfig(hidden_size=hidden, num_heads=4,
+                                   ff_size=hidden),
+        num_attention_blocks=1)
+    rng = np.random.default_rng(0)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        question_input_ids=np.zeros((2, 16), np.int32),
+        question_attention_masks=np.ones((2, 16), np.int32),
+        image_tensors=rng.random((2, 64, 64, 3)).astype(np.float32),
+    )["params"]
+    session = VQAInferenceSession(model, params, answers, CNN_FAMILY,
+                                  batch_size=4, image_size=64)
+    images_dir = os.path.join(root, kw["images_dir"])
+    image_paths = [os.path.join(images_dir, f)
+                   for f in sorted(os.listdir(images_dir))]
+    return session, answers, image_paths
+
+
+def test_ask_single(tiny_session):
+    session, answers, images = tiny_session
+    res = session.ask(images[0], "what is on the table?", top_k=3)
+    assert res["answer"] in answers
+    assert len(res["top_answers"]) == 3
+    assert res["top_answers"][0] == res["answer"]
+    # probabilities sorted descending and in (0, 1]
+    p = res["top_probs"]
+    assert all(0.0 < x <= 1.0 for x in p)
+    assert p == sorted(p, reverse=True)
+
+
+def test_ask_batch_pads_and_chunks(tiny_session):
+    session, answers, images = tiny_session
+    # 6 requests through a compiled batch of 4 -> two chunks (4 + pad-2)
+    reqs = [(images[i % len(images)], f"question {i}?") for i in range(6)]
+    out = session.ask_batch(reqs, top_k=2)
+    assert len(out) == 6
+    assert all(r["answer"] in answers for r in out)
+    # same request answers identically regardless of chunk position
+    single = session.ask(reqs[0][0], reqs[0][1], top_k=2)
+    assert single["top_answers"] == out[0]["top_answers"]
+
+
+def test_from_checkpoint_requires_contract(tmp_path):
+    cfg = Config()
+    cfg.trainer.output_dir = str(tmp_path / "empty_run")
+    with pytest.raises(FileNotFoundError, match="model_ckpt_info.json"):
+        VQAInferenceSession.from_checkpoint(cfg)
