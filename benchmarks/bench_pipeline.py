@@ -1,0 +1,193 @@
+"""End-to-end input-pipeline benchmark: host preprocessing vs fed training.
+
+Measurements on synthetic DAQUAR (640x480 source PNGs -> 256x256, the
+CNN-family path, i.e. a real resample like the NYU-Depth frames):
+
+  1. host collate throughput: native C++ fused resize/scale (fp32 out),
+     pure-python cv2+numpy (fp32 out), and the uint8 wire format
+     (resize only; /255 happens on device);
+  2. steady-state fed training: Prefetcher producer thread collating,
+     device_put-ing uint8 batches, feeding the production flagship train
+     step on the TPU — wall-clock pairs/s.
+
+On this image the host has ONE CPU core and the TPU sits behind a network
+tunnel (~40 MB/s effective H2D), so the fed number is transfer/host-bound
+by construction — the uint8 wire format exists exactly because of that
+boundary (4x less H2D than fp32 at identical logits).
+
+Usage: python benchmarks/bench_pipeline.py [num_samples] [batch]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def host_rate(dataset, collate, batch_size, repeats=2):
+    from t5_resnet_vqa_tpu.data import DataLoader
+    loader = DataLoader(dataset, collate, batch_size, shuffle=False)
+    n = 0
+    t0 = time.time()
+    for _ in range(repeats):
+        for batch in loader:
+            n += batch["image_tensors"].shape[0]
+    dt = time.time() - t0
+    return n / dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from t5_resnet_vqa_tpu.core.config import Config
+    from t5_resnet_vqa_tpu.data import (DataLoader, DaquarCnnCollate,
+                                        DaquarDataset, Prefetcher,
+                                        load_answer_spaces,
+                                        make_synthetic_daquar)
+    from t5_resnet_vqa_tpu.models.resnet_vqa import ResnetVQAModel
+    from t5_resnet_vqa_tpu.train.optimizer import build_optimizer
+
+    num_samples = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    # real DAQUAR frames are 640x480 NYU-Depth crops -> 256x256 is a real
+    # resample, not an identity copy
+    root, kw = make_synthetic_daquar("/tmp/bench_pipeline_daquar",
+                                     num_train=num_samples, num_test=4,
+                                     image_size=256, source_hw=(480, 640))
+    answers = load_answer_spaces(os.path.join(root, kw["answer_spaces_file"]))
+    dataset = DaquarDataset(root, kw["train_csv_file"], kw["images_dir"],
+                            "train")
+
+    results = {}
+
+    # -- 1/2: host-only collate rates ------------------------------------
+    for name, ckw in (("native_f32", dict(use_native=True)),
+                      ("python_f32", dict(use_native=False)),
+                      ("uint8", dict(emit_uint8=True))):
+        collate = DaquarCnnCollate(answers, **ckw)
+        rate = host_rate(dataset, collate, batch)
+        results[f"host_collate_{name}_pairs_per_sec"] = round(rate, 1)
+        log(f"host collate [{name}]: {rate:.1f} pairs/s")
+
+    # -- 3: fed training steady state ------------------------------------
+    model = ResnetVQAModel(answer_spaces=len(answers),
+                           vision_model_name="resnet50", dtype=jnp.bfloat16)
+    # production feed: uint8 wire (4x less H2D) + device_put in producer
+    collate = DaquarCnnCollate(answers, emit_uint8=True)
+    loader = DataLoader(dataset, collate, batch, shuffle=True, seed=0)
+
+    sample = next(iter(loader))
+    arrays = {k: v for k, v in sample.items()
+              if k not in ("answers", "questions", "image_fns", "_valid")}
+    params = model.init(jax.random.PRNGKey(0), **arrays)["params"]
+    cfg = Config()
+    tx, _, _ = build_optimizer(cfg.optimizer, cfg.lr_scheduler, 1000,
+                               gradient_clipping=1.0)
+    opt_state = jax.jit(tx.init)(params)
+
+    @jax.jit
+    def train_step(p, s, b, rng):
+        def loss_fn(pp):
+            _, loss = model.apply({"params": pp}, **b, deterministic=False,
+                                  rngs={"dropout": rng})
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    _ = float(jnp.ones(()).sum())          # tunnel warmup
+    rng = jax.random.PRNGKey(0)
+    # compile once off the clock
+    params, opt_state, loss = train_step(params, opt_state, arrays, rng)
+    _ = float(loss)
+    log("fed loop: compiled")
+
+    def epoch(prefetch_depth):
+        nonlocal params, opt_state, rng
+        losses = []
+        n = 0
+        t0 = time.time()
+        for raw in Prefetcher(loader, prefetch_depth, device_put=True):
+            b = {k: v for k, v in raw.items()
+                 if k not in ("answers", "questions", "image_fns")
+                 and not k.startswith("_")}
+            rng, step_rng = jax.random.split(rng)
+            params, opt_state, loss = train_step(params, opt_state, b,
+                                                 step_rng)
+            losses.append(loss)
+            n += batch
+        _ = float(jnp.stack(losses).sum())   # single sync
+        return n / (time.time() - t0)
+
+    epoch(2)                                 # warm page caches
+    fed = max(epoch(2) for _ in range(2))
+    results["fed_train_pairs_per_sec"] = round(fed, 1)
+    host = results["host_collate_uint8_pairs_per_sec"]
+    results["overlap_efficiency"] = round(fed / host, 3)
+    log(f"fed training: {fed:.1f} pairs/s "
+        f"(host-only ceiling {host:.1f}; overlap {fed / host:.1%})")
+
+    # -- 4: fed training with steps-per-loop (trainer steps_per_dispatch) --
+    K = 4
+
+    @jax.jit
+    def train_step_multi(p, s, bs, rs):
+        def body(carry, xs):
+            b, r = xs
+            def loss_fn(pp):
+                _, loss = model.apply({"params": pp}, **b,
+                                      deterministic=False,
+                                      rngs={"dropout": r})
+                return loss
+            loss, grads = jax.value_and_grad(loss_fn)(carry[0])
+            updates, s2 = tx.update(grads, carry[1], carry[0])
+            return (optax.apply_updates(carry[0], updates), s2), loss
+        (p, s), losses = jax.lax.scan(body, (p, s), (bs, rs))
+        return p, s, losses
+
+    def epoch_scan():
+        nonlocal params, opt_state, rng
+        losses = []
+        n = 0
+        t0 = time.time()
+        pend = []
+        for raw in Prefetcher(loader, 2 * K, device_put=True):
+            b = {k: v for k, v in raw.items()
+                 if k not in ("answers", "questions", "image_fns")
+                 and not k.startswith("_")}
+            pend.append(b)
+            if len(pend) < K:
+                continue
+            bs = jax.tree.map(lambda *xs: jnp.stack(xs), *pend)
+            pend = []
+            rng, sub = jax.random.split(rng)
+            params, opt_state, ls = train_step_multi(
+                params, opt_state, bs, jax.random.split(sub, K))
+            losses.append(ls)
+            n += batch * K
+        if losses:
+            _ = float(jnp.concatenate(losses).sum())
+        return n / (time.time() - t0)
+
+    epoch_scan()                             # compile off the clock
+    fed_k = max(epoch_scan() for _ in range(2))
+    results[f"fed_train_scan{K}_pairs_per_sec"] = round(fed_k, 1)
+    log(f"fed training (steps_per_dispatch={K}): {fed_k:.1f} pairs/s "
+        f"(overlap {fed_k / host:.1%})")
+
+    print(json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()

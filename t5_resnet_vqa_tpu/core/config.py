@@ -68,6 +68,9 @@ class DatasetConfig:
     num_workers: int = 0
     use_native_preprocessor: bool = True  # C++ resize/pack fast path if built
     drop_remainder: bool = True           # static shapes: pad/drop last batch
+    # ship uint8 images over host->device and fuse the /255 (+normalize)
+    # into the model's first device op: 4x less H2D traffic, identical math
+    uint8_wire_images: bool = True
 
     def validate(self) -> None:
         from . import constants
@@ -100,12 +103,18 @@ class TrainerConfig:
     seed: int = 0
     log_every_fraction: float = 0.1      # 10%-interval step logs like the ref
     trace_dir: str = ""                  # capture a jax.profiler trace here
+    # steps-per-loop: run K optimizer steps per host dispatch (lax.scan over
+    # K stacked batches). Amortizes per-dispatch host/runtime latency — the
+    # standard TPU training pattern; 1 == reference-like per-step dispatch.
+    steps_per_dispatch: int = 1
 
     def validate(self) -> None:
         if self.epochs <= 0:
             raise ValueError("epochs must be positive")
         if self.gradient_clipping is not None and self.gradient_clipping < 0:
             raise ValueError("gradient_clipping must be >= 0")
+        if self.steps_per_dispatch < 1:
+            raise ValueError("steps_per_dispatch must be >= 1")
 
 
 @dataclass

@@ -86,6 +86,9 @@ T5_FIRST_EXTRA_ID = 32100
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
+# the in21k ViT image processor's normalization (vit_vqa_daquar_dataset.py:108)
+VIT_IMAGE_MEAN = (0.5, 0.5, 0.5)
+VIT_IMAGE_STD = (0.5, 0.5, 0.5)
 
 # Named preprocessing strategies (reference enums.py:32-43 registers
 # albumentations transforms; here they are names resolved by

@@ -107,18 +107,22 @@ class DaquarCnnCollate(DaquarCollateBase):
                  resizing_dimensions=(constants.CNN_IMAGE_SIZE,
                                       constants.CNN_IMAGE_SIZE),
                  lang_model: str = "t5-base", eval_mode: bool = False,
-                 seed: int = 0, tokenizer=None, use_native: bool = True):
+                 seed: int = 0, tokenizer=None, use_native: bool = True,
+                 emit_uint8: bool = False):
         super().__init__(answer_spaces, lang_model, eval_mode, seed, tokenizer)
         self.interpolation_strategy = interpolation_strategy
         self.resizing_dimensions = tuple(resizing_dimensions)
         self.use_native = use_native
+        self.emit_uint8 = emit_uint8
 
     def __call__(self, samples: Sequence[Sample]) -> Dict[str, np.ndarray]:
-        # [B, H, W, 3] float32 in [0,1], unnormalized (ToTensor-only parity)
+        # [B, H, W, 3] float32 in [0,1], unnormalized (ToTensor-only parity);
+        # emit_uint8 ships resized uint8 and the model divides by 255 on
+        # device (identical math, 4x less H2D)
         images = load_image_batch(
             [s.image_path for s in samples], self.resizing_dimensions,
             self.interpolation_strategy, normalize=None,
-            use_native=self.use_native)
+            use_native=self.use_native, emit_uint8=self.emit_uint8)
         return self._assemble(samples, "image_tensors", images)
 
 
@@ -127,20 +131,24 @@ class DaquarVitCollate(DaquarCollateBase):
     values rescaled 1/255 then normalized mean=std=0.5 (the in21k ViT image
     processor's configuration)."""
 
-    VIT_MEAN = (0.5, 0.5, 0.5)
-    VIT_STD = (0.5, 0.5, 0.5)
+    VIT_MEAN = constants.VIT_IMAGE_MEAN
+    VIT_STD = constants.VIT_IMAGE_STD
 
     def __init__(self, answer_spaces: Sequence[str],
                  lang_model: str = "t5-base", eval_mode: bool = False,
-                 seed: int = 0, tokenizer=None, use_native: bool = True):
+                 seed: int = 0, tokenizer=None, use_native: bool = True,
+                 emit_uint8: bool = False):
         super().__init__(answer_spaces, lang_model, eval_mode, seed, tokenizer)
         self.use_native = use_native
+        self.emit_uint8 = emit_uint8
 
     def __call__(self, samples: Sequence[Sample]) -> Dict[str, np.ndarray]:
+        # emit_uint8 defers the rescale+normalize to the model's first
+        # device op (models/vit.py finalize) — 4x less H2D, same fp32 math
         images = load_image_batch(
             [s.image_path for s in samples],
             (constants.VIT_IMAGE_SIZE, constants.VIT_IMAGE_SIZE),
             "bilinear_interpolation",
             normalize=(self.VIT_MEAN, self.VIT_STD),
-            use_native=self.use_native)
+            use_native=self.use_native, emit_uint8=self.emit_uint8)
         return self._assemble(samples, "pixel_values", images)

@@ -86,11 +86,15 @@ class Prefetcher:
             return batch
         out = {}
         for k, v in batch.items():
-            if isinstance(v, np.ndarray) and v.dtype != object:
+            # 0-d arrays (e.g. the `_valid` count) are host-side metadata
+            if isinstance(v, np.ndarray) and v.dtype != object and v.ndim:
                 out[k] = (jax.device_put(v, self.sharding)
                           if self.sharding is not None else jax.device_put(v))
             else:
                 out[k] = v
+        if isinstance(batch.get("annotation_ids"), np.ndarray):
+            # keep a host view so metric accounting never fetches per step
+            out["_host_annotation_ids"] = batch["annotation_ids"]
         return out
 
     def __iter__(self):

@@ -81,9 +81,19 @@ def load_image_batch(
     interpolation_strategy: str = "bilinear_interpolation",
     normalize: Optional[Tuple[Sequence[float], Sequence[float]]] = None,
     use_native: bool = True,
+    emit_uint8: bool = False,
 ) -> np.ndarray:
-    """-> [B, H, W, 3] float32 NHWC batch."""
+    """-> [B, H, W, 3] float32 NHWC batch, or resized uint8 when
+    ``emit_uint8`` (scale/normalize then happen as the model's first device
+    op — 4x less host->device traffic, same math)."""
     w, h = size
+
+    if emit_uint8:
+        out = np.empty((len(paths), h, w, 3), np.uint8)
+        for i, p in enumerate(paths):
+            out[i] = load_and_resize_image(p, size, interpolation_strategy)
+        return out
+
     decoded = [decode_image(p) for p in paths]
 
     if use_native and interpolation_strategy == "bilinear_interpolation":

@@ -25,17 +25,25 @@ def make_synthetic_daquar(
     num_test: int = 8,
     num_images: int = 6,
     image_size: int = 64,
+    source_hw: Tuple[int, int] = None,
     seed: int = 0,
 ) -> Tuple[str, dict]:
-    """Writes the dataset under ``root``; returns (root, dataset_kwargs)."""
+    """Writes the dataset under ``root``; returns (root, dataset_kwargs).
+
+    ``source_hw`` sets the on-disk image geometry independently of the
+    model's ``image_size`` — real DAQUAR frames are 640x480 NYU-Depth crops,
+    so pipeline benchmarks should pass e.g. (480, 640) to exercise a real
+    resample instead of the identity resize.
+    """
     rng = np.random.default_rng(seed)
     images_dir = os.path.join(root, "images")
     os.makedirs(images_dir, exist_ok=True)
 
+    sh, sw = source_hw if source_hw is not None else (image_size, image_size)
     image_ids: List[str] = []
     for i in range(num_images):
         image_id = f"image{i}"
-        arr = rng.integers(0, 256, size=(image_size, image_size, 3),
+        arr = rng.integers(0, 256, size=(sh, sw, 3),
                            dtype=np.uint8)
         _write_png(os.path.join(images_dir, f"{image_id}.png"), arr)
         image_ids.append(image_id)

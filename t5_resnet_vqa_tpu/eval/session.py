@@ -39,7 +39,7 @@ class VQAInferenceSession:
     def __init__(self, model, params, answer_spaces: Sequence[str],
                  family: str, batch_size: int = 8, image_size: int = 256,
                  interpolation_strategy: str = "bilinear_interpolation",
-                 tokenizer=None):
+                 tokenizer=None, uint8_wire: bool = True):
         from ..train.factory import CNN_FAMILY  # avoid import cycle
 
         self.answer_spaces = list(answer_spaces)
@@ -48,10 +48,11 @@ class VQAInferenceSession:
             self.collate = DaquarCnnCollate(
                 self.answer_spaces, interpolation_strategy,
                 resizing_dimensions=(image_size, image_size),
-                eval_mode=True, tokenizer=tokenizer)
+                eval_mode=True, tokenizer=tokenizer, emit_uint8=uint8_wire)
         else:
             self.collate = DaquarVitCollate(
-                self.answer_spaces, eval_mode=True, tokenizer=tokenizer)
+                self.answer_spaces, eval_mode=True, tokenizer=tokenizer,
+                emit_uint8=uint8_wire)
 
         def predict(p, batch):
             log_probs, _ = model.apply({"params": p}, **batch,

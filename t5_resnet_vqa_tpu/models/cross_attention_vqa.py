@@ -34,6 +34,7 @@ from flax import linen as nn
 
 from ..core import constants
 from ..ops import AttentionPooler, log_softmax_nll
+from .image_input import finalize_image_input
 from .roberta import RobertaConfig, RobertaEmbeddings, RobertaLayer
 from .vit import ViTConfig, ViTLayer
 
@@ -92,6 +93,8 @@ class CrossAttentionVitVQAModel(nn.Module):
                          self.roberta_config.num_layers)   # ref :53
         n_img = self.vit_config.num_patches + 1
 
+        pixel_values = finalize_image_input(        # uint8 wire format
+            pixel_values, (constants.VIT_IMAGE_MEAN, constants.VIT_IMAGE_STD))
         image_emb = ViTEmbeddings(self.vit_config, dtype=self.dtype,
                                   name="vit_embeddings")(pixel_values)
         if not self.fine_tune_vision:

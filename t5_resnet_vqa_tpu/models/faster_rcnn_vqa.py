@@ -25,6 +25,7 @@ from ..ops import (
     log_softmax_nll,
 )
 from .fpn import FPN
+from .image_input import finalize_image_input
 from .resnet import ResNetBackbone
 from .t5 import T5Config, T5Encoder
 
@@ -58,6 +59,7 @@ class FasterRcnnVQAModel(nn.Module):
         return_features: bool = False,
     ):
         # --- frozen ResNet50 body + FPN (ref :51-53, 102-106) ---
+        image_tensors = finalize_image_input(image_tensors)  # uint8 wire
         feats = ResNetBackbone("resnet50", dtype=self.dtype,
                                name="vision_model")(image_tensors)
         levels = FPN(self.fpn_channels, dtype=self.dtype, name="fpn")(feats)

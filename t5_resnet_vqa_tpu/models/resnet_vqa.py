@@ -32,6 +32,7 @@ from ..ops import (
     SGAStack,
     log_softmax_nll,
 )
+from .image_input import finalize_image_input
 from .resnet import ResNetBackbone
 from .t5 import T5Config, T5Encoder
 
@@ -67,6 +68,7 @@ class ResnetVQAModel(nn.Module):
         return_features: bool = False,
     ):
         # --- frozen vision tower (ref :115-135) ---
+        image_tensors = finalize_image_input(image_tensors)  # uint8 wire
         feats = ResNetBackbone(self.vision_model_name, dtype=self.dtype,
                                name="vision_model")(image_tensors)
         image_features = feats[-1]                       # [B, 8, 8, C]

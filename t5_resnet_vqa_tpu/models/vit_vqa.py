@@ -30,6 +30,7 @@ from flax import linen as nn
 
 from ..core import constants
 from ..ops import log_softmax_nll
+from .image_input import finalize_image_input
 from .t5 import T5Config, T5Decoder, T5Encoder
 from .vit import ViTConfig, ViTModel
 
@@ -65,6 +66,8 @@ class VitVQAModel(nn.Module):
              return_attentions: bool = False):
         """Frozen ViT pooled CLS + T5-encoder token-0 -> fused [B, d_model]
         (ref :183-203). Optionally also the ViT attention stack."""
+        pixel_values = finalize_image_input(        # uint8 wire format
+            pixel_values, (constants.VIT_IMAGE_MEAN, constants.VIT_IMAGE_STD))
         if return_attentions:
             _, pooled_vision, att_maps = self.vision_model(
                 pixel_values, deterministic, return_attentions=True)

@@ -60,9 +60,16 @@ _EVAL_ONLY_KEYS = ("answers", "questions", "image_fns")
 
 
 def _device_batch(batch: Dict[str, Any]) -> Dict[str, np.ndarray]:
-    """Strip host-only fields; keep the arrays the models accept."""
+    """Strip host-only fields ("_"-prefixed metadata incl. `_valid` and the
+    prefetcher's host label view); keep the arrays the models accept."""
     return {k: v for k, v in batch.items()
-            if k not in _EVAL_ONLY_KEYS and k != "_valid"}
+            if k not in _EVAL_ONLY_KEYS and not k.startswith("_")}
+
+
+def _host_labels(batch: Dict[str, Any]) -> np.ndarray:
+    """annotation_ids as host numpy without forcing a device fetch."""
+    return np.asarray(batch.get("_host_annotation_ids",
+                                batch["annotation_ids"]))
 
 
 class VQATrainer:
@@ -147,22 +154,26 @@ class VQATrainer:
                 self.answer_spaces, dk.interpolation_strategy,
                 resizing_dimensions=dims,
                 lang_model=dk.language_model_tokenizer, seed=seed,
-                tokenizer=tokenizer, use_native=dk.use_native_preprocessor)
+                tokenizer=tokenizer, use_native=dk.use_native_preprocessor,
+                emit_uint8=dk.uint8_wire_images)
             test_collate = DaquarCnnCollate(
                 self.answer_spaces, dk.interpolation_strategy,
                 resizing_dimensions=dims,
                 lang_model=dk.language_model_tokenizer, eval_mode=True,
                 seed=seed, tokenizer=tokenizer,
-                use_native=dk.use_native_preprocessor)
+                use_native=dk.use_native_preprocessor,
+                emit_uint8=dk.uint8_wire_images)
         else:
             train_collate = DaquarVitCollate(
                 self.answer_spaces, lang_model=dk.language_model_tokenizer,
                 seed=seed, tokenizer=tokenizer,
-                use_native=dk.use_native_preprocessor)
+                use_native=dk.use_native_preprocessor,
+                emit_uint8=dk.uint8_wire_images)
             test_collate = DaquarVitCollate(
                 self.answer_spaces, lang_model=dk.language_model_tokenizer,
                 eval_mode=True, seed=seed, tokenizer=tokenizer,
-                use_native=dk.use_native_preprocessor)
+                use_native=dk.use_native_preprocessor,
+                emit_uint8=dk.uint8_wire_images)
 
         self.train_dataloader = DataLoader(
             train_dataset, train_collate, dk.train_batch_size, shuffle=True,
@@ -292,6 +303,28 @@ class VQATrainer:
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._eval_step = jax.jit(eval_step)
 
+        # steps-per-loop: K optimizer steps per dispatch via lax.scan over
+        # stacked batches. On a tunneled/remote runtime each dispatch costs
+        # tens of ms of relay latency (measured ~65ms on this image); K
+        # amortizes it to ~65/K. Mesh runs keep K=1 (the stacked batch
+        # would need per-slice resharding).
+        self._steps_per_dispatch = (
+            1 if self.mesh is not None
+            else max(1, self.config.trainer.steps_per_dispatch))
+
+        def train_step_multi(params, opt_state, batches, rngs):
+            def body(carry, xs):
+                b, r = xs
+                p, s, loss, preds = train_step(carry[0], carry[1], b, r)
+                return (p, s), (loss, preds)
+            (p, s), (losses, preds) = jax.lax.scan(
+                body, (params, opt_state), (batches, rngs))
+            return p, s, losses, preds      # losses [K], preds [K, B]
+
+        if self._steps_per_dispatch > 1:
+            self._train_step_multi = jax.jit(train_step_multi,
+                                             donate_argnums=(0, 1))
+
     def _put_batch(self, batch):
         batch = _device_batch(batch)
         if self.mesh is not None:
@@ -346,8 +379,10 @@ class VQATrainer:
         device arrays; the only host syncs are one scalar fetch per
         10%-interval log boundary (which therefore measures true device
         wall-time for the window) and one prediction gather at epoch end.
-        On this image's tunneled chip a per-step fetch costs ~3.5ms of relay
-        latency, comparable to a whole B=32 train step.
+        With ``steps_per_dispatch`` K>1, K optimizer steps run inside one
+        lax.scan dispatch over stacked batches, amortizing per-dispatch
+        runtime latency (measured ~65ms/dispatch through this image's
+        tunneled chip — dominant at small batch) to ~1/K.
         """
         total_loss = 0.0
         epoch_time = 0.0
@@ -362,27 +397,65 @@ class VQATrainer:
             trace_ctx = profiler_trace(self.config.trainer.trace_dir)
             trace_ctx.__enter__()
 
+        window_steps = 0
+
         def drain_window() -> float:
             """One fetch for the whole window's loss sum."""
+            nonlocal window_steps
             if not window_losses:
                 return 0.0
-            s = float(jnp.stack(window_losses).sum())
+            s = float(jnp.concatenate(
+                [jnp.atleast_1d(x) for x in window_losses]).sum())
             window_losses.clear()
+            window_steps = 0
             return s
 
+        # tiny runs log per step like the reference; otherwise scan K steps
+        # per dispatch (steps-per-loop)
+        K = 1 if self.total_train_batch < 10 else self._steps_per_dispatch
         window_t0 = time.time()
-        prefetch = Prefetcher(self.train_dataloader, self.num_prefetch)
-        for batch_idx, raw_batch in enumerate(prefetch):
-            batch = self._put_batch(raw_batch)
-            self._rng, drop_rng = jax.random.split(self._rng)
+        # device_put in the producer thread overlaps H2D with compute
+        # (mesh runs shard explicitly in _put_batch instead)
+        prefetch = Prefetcher(self.train_dataloader, self.num_prefetch,
+                              device_put=self.mesh is None)
+        it = iter(prefetch)
+        batch_idx = -1
+        next_log = self.ten_percent_train_batch
+        while True:
+            raws = []
+            for _ in range(K):
+                nxt = next(it, None)
+                if nxt is None:
+                    break
+                raws.append(nxt)
+            if not raws:
+                break
+            for r in raws:
+                train_targets.extend(_host_labels(r).tolist())
 
-            self.params, self.opt_state, loss, preds = self._train_step(
-                self.params, self.opt_state, batch, drop_rng)
-            self.global_step += 1
-            window_losses.append(loss)
-            pred_chunks.append(preds)
-            train_targets.extend(
-                np.asarray(raw_batch["annotation_ids"]).tolist())
+            if len(raws) == K and K > 1:
+                batches = jax.tree.map(
+                    lambda *xs: jnp.stack(xs),
+                    *[self._put_batch(r) for r in raws])
+                self._rng, drop_rng = jax.random.split(self._rng)
+                rngs = jax.random.split(drop_rng, K)
+                self.params, self.opt_state, losses, preds = (
+                    self._train_step_multi(self.params, self.opt_state,
+                                           batches, rngs))
+                window_losses.append(losses)            # [K]
+                pred_chunks.append(preds.reshape(-1))   # [K*B], step order
+            else:
+                for r in raws:                          # leftover / K == 1
+                    batch = self._put_batch(r)
+                    self._rng, drop_rng = jax.random.split(self._rng)
+                    self.params, self.opt_state, loss, preds = (
+                        self._train_step(self.params, self.opt_state, batch,
+                                         drop_rng))
+                    window_losses.append(loss)
+                    pred_chunks.append(preds)
+            self.global_step += len(raws)
+            window_steps += len(raws)
+            batch_idx += len(raws)
 
             if self.total_train_batch < 10:
                 # tiny runs: per-step running total, as the reference logs
@@ -391,8 +464,9 @@ class VQATrainer:
                     f"Epoch: {self.cur_epoch} - iteration "
                     f"{batch_idx}/{self.total_train_batch} - total loss "
                     f"{total_loss:.4f}")
-            elif (batch_idx + 1) % self.ten_percent_train_batch == 0:
-                window_n = len(window_losses)
+            elif batch_idx + 1 >= next_log:
+                next_log += self.ten_percent_train_batch
+                window_n = window_steps
                 window_sum = drain_window()        # sync point for the window
                 dt = time.time() - window_t0
                 window_t0 = time.time()
@@ -449,9 +523,11 @@ class VQATrainer:
         pred_chunks: List[jax.Array] = []   # device [B] argmax per batch
         valid_counts: List[int] = []
 
-        prefetch = Prefetcher(self.test_dataloader, self.num_prefetch)
+        prefetch = Prefetcher(self.test_dataloader, self.num_prefetch,
+                              device_put=self.mesh is None)
         for raw_batch in prefetch:
-            valid = int(raw_batch.get("_valid", len(raw_batch["annotation_ids"])))
+            valid = int(raw_batch.get("_valid",
+                                      len(_host_labels(raw_batch))))
             valid_questions.extend(raw_batch["questions"][:valid])
             batch = self._put_batch(raw_batch)
             loss, preds = self._eval_step(self.params, batch)
@@ -459,7 +535,7 @@ class VQATrainer:
             pred_chunks.append(preds)
             valid_counts.append(valid)
             valid_targets.extend(
-                np.asarray(raw_batch["annotation_ids"])[:valid].tolist())
+                _host_labels(raw_batch)[:valid].tolist())
 
         # two fetches for the whole epoch (batches dispatched back-to-back)
         num_batches = len(loss_chunks)

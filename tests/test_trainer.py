@@ -177,3 +177,57 @@ def test_early_stopping_honored(synth, tmp_path):
     trainer.train()
     assert trainer.callbacks.should_stop
     assert trainer.cur_epoch + 1 < 10   # stopped early
+
+
+def test_steps_per_dispatch_matches_sequential(synth, tmp_path):
+    """K scan steps in one dispatch == K sequential single-step dispatches
+    (same batches, same per-step dropout rngs)."""
+    root, _ = synth
+    from t5_resnet_vqa_tpu.data import load_answer_spaces
+    answers = load_answer_spaces(os.path.join(root, "answer_spaces.txt"))
+    cfg = _tiny_config(root, tmp_path / "spd", epochs=1)
+    cfg.trainer.steps_per_dispatch = 2
+    trainer = VQATrainer(_tiny_model(len(answers)), cfg, answers)
+    assert trainer._steps_per_dispatch == 2
+
+    batches = []
+    for raw in trainer.train_dataloader:
+        batches.append(trainer._put_batch(
+            {k: v for k, v in raw.items() if k != "_valid"}))
+        if len(batches) == 2:
+            break
+    rngs = jax.random.split(jax.random.PRNGKey(7), 2)
+
+    copy = lambda t: jax.tree.map(jnp.copy, t)
+    p, s = copy(trainer.params), copy(trainer.opt_state)
+    p, s, l1, pr1 = trainer._train_step(p, s, batches[0], rngs[0])
+    p, s, l2, pr2 = trainer._train_step(p, s, batches[1], rngs[1])
+
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    pm, sm, losses, preds = trainer._train_step_multi(
+        copy(trainer.params), copy(trainer.opt_state), stacked, rngs)
+
+    np.testing.assert_allclose(np.asarray(losses),
+                               np.asarray(jnp.stack([l1, l2])), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(preds).reshape(-1),
+                                  np.asarray(jnp.concatenate([pr1, pr2])))
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(pm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_trainer_runs_with_steps_per_dispatch(synth, tmp_path):
+    """Full epoch loop with K>1 (incl. a leftover chunk) trains end-to-end."""
+    root, _ = synth
+    from t5_resnet_vqa_tpu.data import load_answer_spaces
+    answers = load_answer_spaces(os.path.join(root, "answer_spaces.txt"))
+    cfg = _tiny_config(root, tmp_path / "spd_run", epochs=1)
+    cfg.trainer.steps_per_dispatch = 3      # 4 batches -> one scan(3) + 1
+    # >= 10 batches to leave the tiny-run logging path: shrink batch size
+    cfg.dataset.train_batch_size = 1
+    trainer = VQATrainer(_tiny_model(len(answers)), cfg, answers)
+    trainer.train()
+    assert trainer.global_step == len(trainer.train_dataloader)
+    metrics = [json.loads(l) for l in open(trainer.tracker.path)]
+    losses = [m["train_avg_loss"] for m in metrics
+              if m.get("_event") == "log" and "train_avg_loss" in m]
+    assert losses and np.isfinite(losses[0])
