@@ -118,7 +118,9 @@ class DaquarCnnCollate(DaquarCollateBase):
     def __call__(self, samples: Sequence[Sample]) -> Dict[str, np.ndarray]:
         # [B, H, W, 3] float32 in [0,1], unnormalized (ToTensor-only parity);
         # emit_uint8 ships resized uint8 and the model divides by 255 on
-        # device (identical math, 4x less H2D)
+        # device — bit-identical to the reference's uint8-resize + ToTensor
+        # path, 4x less H2D (see preprocessing.load_image_batch precision
+        # note)
         images = load_image_batch(
             [s.image_path for s in samples], self.resizing_dimensions,
             self.interpolation_strategy, normalize=None,
@@ -144,7 +146,8 @@ class DaquarVitCollate(DaquarCollateBase):
 
     def __call__(self, samples: Sequence[Sample]) -> Dict[str, np.ndarray]:
         # emit_uint8 defers the rescale+normalize to the model's first
-        # device op (models/vit.py finalize) — 4x less H2D, same fp32 math
+        # device op (models/image_input.py) — 4x less H2D; same fp32 math as
+        # the host path on the same uint8-resized pixels
         images = load_image_batch(
             [s.image_path for s in samples],
             (constants.VIT_IMAGE_SIZE, constants.VIT_IMAGE_SIZE),

@@ -85,7 +85,16 @@ def load_image_batch(
 ) -> np.ndarray:
     """-> [B, H, W, 3] float32 NHWC batch, or resized uint8 when
     ``emit_uint8`` (scale/normalize then happen as the model's first device
-    op — 4x less host->device traffic, same math)."""
+    op — 4x less host->device traffic).
+
+    Precision note: the uint8 path resizes with cv2 in uint8 and therefore
+    matches the REFERENCE's own pipeline (cv2.resize preserves dtype, then
+    ToTensor /255 — resnet_vqa_daquar_dataset.py:153-171) bit for bit. The
+    fp32 paths keep the resample's fractional precision instead — native
+    (use_native) and cv2-python fp32 agree with the uint8 path within one
+    uint8 LSB. ``use_native`` is ignored under ``emit_uint8``: a fused
+    resize+scale pass has nothing to fuse when the scale runs on device,
+    and cv2's SIMD uint8 resize is the fastest host option."""
     w, h = size
 
     if emit_uint8:

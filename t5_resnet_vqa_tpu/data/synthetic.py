@@ -10,7 +10,7 @@ so the full train/eval path runs end-to-end without the real data.
 from __future__ import annotations
 
 import os
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -25,7 +25,7 @@ def make_synthetic_daquar(
     num_test: int = 8,
     num_images: int = 6,
     image_size: int = 64,
-    source_hw: Tuple[int, int] = None,
+    source_hw: Optional[Tuple[int, int]] = None,
     seed: int = 0,
 ) -> Tuple[str, dict]:
     """Writes the dataset under ``root``; returns (root, dataset_kwargs).

@@ -39,7 +39,8 @@ class VQAInferenceSession:
     def __init__(self, model, params, answer_spaces: Sequence[str],
                  family: str, batch_size: int = 8, image_size: int = 256,
                  interpolation_strategy: str = "bilinear_interpolation",
-                 tokenizer=None, uint8_wire: bool = True):
+                 lang_model: str = "t5-base", tokenizer=None,
+                 uint8_wire: bool = True):
         from ..train.factory import CNN_FAMILY  # avoid import cycle
 
         self.answer_spaces = list(answer_spaces)
@@ -48,11 +49,12 @@ class VQAInferenceSession:
             self.collate = DaquarCnnCollate(
                 self.answer_spaces, interpolation_strategy,
                 resizing_dimensions=(image_size, image_size),
-                eval_mode=True, tokenizer=tokenizer, emit_uint8=uint8_wire)
+                lang_model=lang_model, eval_mode=True, tokenizer=tokenizer,
+                emit_uint8=uint8_wire)
         else:
             self.collate = DaquarVitCollate(
-                self.answer_spaces, eval_mode=True, tokenizer=tokenizer,
-                emit_uint8=uint8_wire)
+                self.answer_spaces, lang_model=lang_model, eval_mode=True,
+                tokenizer=tokenizer, emit_uint8=uint8_wire)
 
         def predict(p, batch):
             log_probs, _ = model.apply({"params": p}, **batch,
@@ -76,7 +78,7 @@ class VQAInferenceSession:
         info = ckpt.read_json("model_ckpt_info.json")
         if info is None:
             raise FileNotFoundError(
-                f"no model_ckpt_info.json under {config.trainer.output_dir} "
+                f"no model_ckpt_info.json under {ckpt.output_dir} "
                 "(train first; the answer space is part of the checkpoint "
                 "contract)")
         answer_spaces = info["answer_spaces"]
@@ -86,6 +88,7 @@ class VQAInferenceSession:
                    batch_size=batch_size,
                    image_size=config.dataset.image_size,
                    interpolation_strategy=config.dataset.interpolation_strategy,
+                   lang_model=config.dataset.language_model_tokenizer,
                    tokenizer=tokenizer)
 
     def ask(self, image: str, question: str, top_k: int = 1) -> dict:
@@ -95,17 +98,25 @@ class VQAInferenceSession:
     def ask_batch(self, requests: Sequence[Tuple[str, str]],
                   top_k: int = 1) -> List[dict]:
         """Each request is (image_path, question_text). Returns per-request
-        ``{"answer", "top_answers", "top_probs"}`` dicts, best first."""
-        out: List[dict] = []
+        ``{"answer", "top_answers", "top_probs"}`` dicts, best first.
+
+        All chunks are dispatched before any result is fetched, so chunk
+        k+1's host preprocessing and transfer overlap chunk k's device
+        compute (dispatches are async; the fetches at the end are the only
+        host syncs)."""
+        pending = []   # (device log_probs, n_valid) per chunk, unfetched
         for start in range(0, len(requests), self.batch_size):
             chunk = requests[start:start + self.batch_size]
-            out.extend(self._run_chunk(chunk, top_k))
+            pending.append((self._dispatch_chunk(chunk), len(chunk)))
+        out: List[dict] = []
+        for log_probs_dev, n in pending:
+            out.extend(self._decode(np.asarray(log_probs_dev)[:n], top_k))
         return out
 
     # ------------------------------------------------------------- internals
 
-    def _run_chunk(self, chunk: Sequence[Tuple[str, str]],
-                   top_k: int) -> List[dict]:
+    def _dispatch_chunk(self, chunk: Sequence[Tuple[str, str]]):
+        """Collate, pad to the compiled batch, dispatch; no host sync."""
         dummy = [self.answer_spaces[0]]
         samples = [
             Sample(Question(q, f"req_{i}", f"req_{i}"),
@@ -119,11 +130,13 @@ class VQAInferenceSession:
             batch = {k: np.concatenate(
                 [v, np.repeat(v[:1], self.batch_size - n, axis=0)])
                 for k, v in batch.items()}
-        log_probs = np.asarray(self._predict(self._params, batch))[:n]
+        return self._predict(self._params, batch)
+
+    def _decode(self, log_probs: np.ndarray, top_k: int) -> List[dict]:
         order = np.argsort(-log_probs, axis=-1)[:, :top_k]
         probs = np.exp(np.take_along_axis(log_probs, order, axis=-1))
         return [{
             "answer": self.answer_spaces[int(order[i, 0])],
             "top_answers": [self.answer_spaces[int(j)] for j in order[i]],
             "top_probs": [float(p) for p in probs[i]],
-        } for i in range(n)]
+        } for i in range(len(log_probs))]

@@ -311,6 +311,11 @@ class VQATrainer:
         self._steps_per_dispatch = (
             1 if self.mesh is not None
             else max(1, self.config.trainer.steps_per_dispatch))
+        if (self.mesh is not None
+                and self.config.trainer.steps_per_dispatch > 1):
+            self.logger.log_message(
+                "steps_per_dispatch > 1 is not supported with a mesh; "
+                "running 1 step per dispatch")
 
         def train_step_multi(params, opt_state, batches, rngs):
             def body(carry, xs):
