@@ -61,13 +61,18 @@ def main(mode: str = "cam"):
     dk = cfg.dataset
     dataset = DaquarDataset(dk.root_data_dir, dk.test_csv_file, dk.images_dir,
                             "test")
+    # uint8 wire: models finalize on device; matches the reference's
+    # uint8-resize + scale math exactly (data/preprocessing.py)
     if mode == "cam":
         collate = DaquarCnnCollate(
             answer_spaces, dk.interpolation_strategy,
             resizing_dimensions=(dk.image_size, dk.image_size),
-            eval_mode=True)
+            lang_model=dk.language_model_tokenizer, eval_mode=True,
+            emit_uint8=dk.uint8_wire_images)
     else:
-        collate = DaquarVitCollate(answer_spaces, eval_mode=True)
+        collate = DaquarVitCollate(
+            answer_spaces, lang_model=dk.language_model_tokenizer,
+            eval_mode=True, emit_uint8=dk.uint8_wire_images)
     loader = DataLoader(dataset, collate, args.batch_size,
                         drop_remainder=False)
 

@@ -17,8 +17,9 @@ Documented divergences (SURVEY §7):
   * ViT-path questions are padded to the static QUESTION_MAX_LEN=16 instead
     of "longest" (TPU static shapes);
   * label sampling uses a seeded numpy Generator instead of the global
-    ``random`` module, so runs are reproducible (set reseed_per_epoch to
-    mimic the reference's fresh-answer-every-epoch behavior).
+    ``random`` module: every __call__ still draws fresh answers (the
+    reference's fresh-answer-every-epoch behavior, ref :178-189) but the
+    stream is reproducible from the seed.
 
 Outputs are NHWC float32; all arrays are numpy (the prefetcher moves them to
 device asynchronously).
