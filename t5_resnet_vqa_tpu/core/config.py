@@ -107,6 +107,11 @@ class TrainerConfig:
     # K stacked batches). Amortizes per-dispatch host/runtime latency — the
     # standard TPU training pattern; 1 == reference-like per-step dispatch.
     steps_per_dispatch: int = 1
+    # crash recovery: additionally write checkpoint-model +
+    # state_dict_checkpoint every N optimizer steps (0 = epoch-end only,
+    # the reference's cadence). A mid-epoch crash then loses at most N
+    # steps of optimizer state on resume.
+    checkpoint_every_steps: int = 0
 
     def validate(self) -> None:
         if self.epochs <= 0:
@@ -115,6 +120,8 @@ class TrainerConfig:
             raise ValueError("gradient_clipping must be >= 0")
         if self.steps_per_dispatch < 1:
             raise ValueError("steps_per_dispatch must be >= 1")
+        if self.checkpoint_every_steps < 0:
+            raise ValueError("checkpoint_every_steps must be >= 0")
 
 
 @dataclass

@@ -122,6 +122,7 @@ class VQATrainer:
             gradient_clipping=tk.gradient_clipping)
         self.opt_state = jax.jit(self.tx.init)(self.params)
         self.global_step = 0
+        self._last_ckpt_step = 0
 
         # --- callbacks ---
         cb = config.callbacks
@@ -461,6 +462,15 @@ class VQATrainer:
             self.global_step += len(raws)
             window_steps += len(raws)
             batch_idx += len(raws)
+
+            ck_every = self.config.trainer.checkpoint_every_steps
+            if (ck_every and self.global_step - self._last_ckpt_step
+                    >= ck_every):
+                # periodic crash-recovery save (fetches params; opt-in cost)
+                self.callbacks.save_epoch_checkpoint(self.params)
+                self.callbacks.save_state_dict_checkpoint(
+                    self.cur_epoch, self.opt_state)
+                self._last_ckpt_step = self.global_step
 
             if self.total_train_batch < 10:
                 # tiny runs: per-step running total, as the reference logs

@@ -231,3 +231,28 @@ def test_trainer_runs_with_steps_per_dispatch(synth, tmp_path):
     losses = [m["train_avg_loss"] for m in metrics
               if m.get("_event") == "log" and "train_avg_loss" in m]
     assert losses and np.isfinite(losses[0])
+
+
+def test_checkpoint_every_steps(synth, tmp_path, monkeypatch):
+    """checkpoint_every_steps writes the recovery pair mid-epoch, not just
+    at epoch end (capability add over the reference's epoch-end cadence)."""
+    root, _ = synth
+    from t5_resnet_vqa_tpu.data import load_answer_spaces
+    answers = load_answer_spaces(os.path.join(root, "answer_spaces.txt"))
+    cfg = _tiny_config(root, tmp_path / "ck_steps", epochs=1)
+    cfg.trainer.checkpoint_every_steps = 2
+    cfg.trainer.monitor_test = False
+    trainer = VQATrainer(_tiny_model(len(answers)), cfg, answers)
+
+    calls = []
+    orig = trainer.callbacks.save_epoch_checkpoint
+    monkeypatch.setattr(trainer.callbacks, "save_epoch_checkpoint",
+                        lambda p: (calls.append(trainer.global_step),
+                                   orig(p)))
+    trainer.train()
+    # 4 train batches, every 2 steps -> saves at steps 2 and 4, before the
+    # end-of-train save
+    assert calls[:2] == [2, 4]
+    ckpt_dir = os.path.join(str(tmp_path / "ck_steps"), "model_checkpoints")
+    assert os.path.isdir(os.path.join(ckpt_dir, "checkpoint-model"))
+    assert os.path.isdir(os.path.join(ckpt_dir, "state_dict_checkpoint"))
