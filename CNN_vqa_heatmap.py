@@ -12,7 +12,7 @@ import os
 
 import jax
 
-from t5_resnet_vqa_tpu.core import Config
+from t5_resnet_vqa_tpu.core import Config, select_device
 from t5_resnet_vqa_tpu.data import (
     DaquarCnnCollate,
     DaquarDataset,
@@ -51,11 +51,7 @@ def main(mode: str = "cam"):
     args = p.parse_args()
 
     cfg = Config.from_json(args.config, overrides=args.set)
-    if cfg.trainer.device in ("cpu", "tpu"):
-        try:
-            jax.config.update("jax_platforms", cfg.trainer.device)
-        except Exception:
-            pass
+    select_device(cfg.trainer.device)
     model, params, answer_spaces, family = load_checkpointed_model(cfg)
 
     dk = cfg.dataset

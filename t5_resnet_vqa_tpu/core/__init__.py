@@ -9,9 +9,11 @@ from .config import (
     ParallelConfig,
     TrainerConfig,
 )
+from .device import select_device
 from .logging import ExperimentTracker, Logger
 
 __all__ = [
+    "select_device",
     "constants",
     "Config",
     "ModelConfig",

@@ -12,7 +12,7 @@ mesh parallelism (--data-parallel/--model-parallel).
 
 import argparse
 
-from t5_resnet_vqa_tpu.core import Config
+from t5_resnet_vqa_tpu.core import Config, select_device
 from t5_resnet_vqa_tpu.parallel import make_mesh
 from t5_resnet_vqa_tpu.train import VQATrainer
 
@@ -29,14 +29,9 @@ def parse_args(default_vision: str = None):
                    help="model(TP)-axis size")
     args = p.parse_args()
     cfg = Config.from_json(args.config, overrides=args.set)
-    if cfg.trainer.device in ("cpu", "tpu"):
-        # honor the config's device field (the reference only logs it);
-        # must happen before any computation is dispatched
-        import jax
-        try:
-            jax.config.update("jax_platforms", cfg.trainer.device)
-        except Exception:
-            pass
+    # honor the config's device field (the reference only logs it); must
+    # happen before any computation is dispatched
+    select_device(cfg.trainer.device)
     if default_vision and cfg.model.vision_model_name.startswith("google/"):
         # this entry point is the CNN family; config carries a ViT name only
         # when reusing the reference's single shared config file
