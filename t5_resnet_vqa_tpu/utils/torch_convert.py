@@ -407,3 +407,73 @@ def convert_t5_decoder(sd: Mapping[str, Any], num_layers: int,
             "ff_layer_norm": _rmsnorm(sd, f"{b}.layer.2.layer_norm"),
         }
     return params
+
+
+def convert_faster_rcnn_vqa_checkpoint(sd: Mapping[str, Any],
+                                       num_attention_blocks: int = 3,
+                                       num_t5_layers: int = 12
+                                       ) -> Dict[str, Any]:
+    """A reference FasterRcnnVQAModel state dict
+    (faster_rcnn_vqa_model.py:28-86: vision_model = torchvision
+    fasterrcnn_resnet50_fpn backbone, upscale_layer ConvT(256->768),
+    lang_model T5Stack, sga/pooler/classifier)
+    -> models.faster_rcnn_vqa.FasterRcnnVQAModel params."""
+    resnet_params, fpn_params = convert_faster_rcnn_backbone(sd,
+                                                             "vision_model")
+    return {
+        "vision_model": resnet_params,
+        "fpn": fpn_params,
+        "upscale_layer": {"conv": conv_transpose2d_as_conv(sd,
+                                                           "upscale_layer")},
+        "lang_model": convert_t5_encoder(
+            sd, num_layers=num_t5_layers, prefix="lang_model",
+            shared_key="lang_model.embed_tokens.weight"),
+        "sga_modules": convert_sga_stack(sd, num_attention_blocks),
+        "attention_pooler": convert_attention_pooler(sd),
+        "classification_layer": linear(sd, "classification_layer"),
+    }
+
+
+def convert_vit_vqa_checkpoint(sd: Mapping[str, Any],
+                               num_vit_layers: int = 12,
+                               num_t5_layers: int = 12) -> Dict[str, Any]:
+    """A reference VitVQAModel state dict (vit_vqa_model.py:129-166:
+    vision_model = HF ViTModel, lang_model = full T5ForConditionalGeneration,
+    fusing_layer = Sequential(Linear, ReLU, Dropout), classifier)
+    -> models.vit_vqa.VitVQAModel params."""
+    return {
+        "vision_model": convert_vit(sd, num_vit_layers,
+                                    prefix="vision_model"),
+        "lang_encoder": convert_t5_encoder(
+            sd, num_t5_layers, prefix="lang_model.encoder",
+            shared_key="lang_model.shared.weight"),
+        "lang_decoder": convert_t5_decoder(
+            sd, num_t5_layers, prefix="lang_model.decoder",
+            shared_key="lang_model.shared.weight"),
+        "fusing_layer": linear(sd, "fusing_layer.0"),
+        "classification_layer": linear(sd, "classification_layer"),
+    }
+
+
+def convert_cross_attention_vqa_checkpoint(sd: Mapping[str, Any],
+                                           num_layers: int = 12
+                                           ) -> Dict[str, Any]:
+    """A reference CrossAttentionVitVQAModel state dict
+    (vit_vqa_model.py:24-63: roberta_embeddings / vit_embeddings /
+    roberta_encoder_layers.N / vit_encoder_layers.N ModuleLists, shared
+    layer_norm, pooler, classifier)
+    -> models.cross_attention_vqa.CrossAttentionVitVQAModel params."""
+    params: Dict[str, Any] = {
+        "roberta_embeddings": convert_roberta_embeddings(
+            sd, "roberta_embeddings"),
+        "vit_embeddings": convert_vit_embeddings(sd, "vit_embeddings"),
+        "layer_norm": layernorm(sd, "layer_norm"),
+        "attention_pooler": convert_attention_pooler(sd),
+        "classification_layer": linear(sd, "classification_layer"),
+    }
+    for i in range(num_layers):
+        params[f"roberta_layer_{i}"] = convert_roberta_layer(
+            sd, f"roberta_encoder_layers.{i}")
+        params[f"vit_layer_{i}"] = convert_vit_layer(
+            sd, f"vit_encoder_layers.{i}")
+    return params
