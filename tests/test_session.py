@@ -81,3 +81,40 @@ def test_from_checkpoint_requires_contract(tmp_path):
     cfg.trainer.output_dir = str(tmp_path / "empty_run")
     with pytest.raises(FileNotFoundError, match="model_ckpt_info.json"):
         VQAInferenceSession.from_checkpoint(cfg)
+
+
+def test_session_vit_family(tmp_path):
+    """The ViT-family branch: pixel_values collate + enc-dec model."""
+    import os
+    from t5_resnet_vqa_tpu.data import make_synthetic_daquar
+    from t5_resnet_vqa_tpu.models.t5 import T5Config
+    from t5_resnet_vqa_tpu.models.vit import ViTConfig
+    from t5_resnet_vqa_tpu.models.vit_vqa import VitVQAModel
+
+    root, kw = make_synthetic_daquar(str(tmp_path / "d"), num_train=2,
+                                     num_test=2, image_size=64)
+    answers = [a.strip("\n") for a in
+               open(os.path.join(root, kw["answer_spaces_file"]))]
+    # tiny widths but 224^2 input geometry: the ViT collate always emits the
+    # processor's 224^2 pixel_values
+    model = VitVQAModel(
+        answer_spaces=len(answers),
+        vit_config=ViTConfig(hidden_size=32, num_layers=1, num_heads=4,
+                             mlp_dim=64, patch_size=32, image_size=224),
+        t5_config=T5Config(vocab_size=32128, d_model=32, d_kv=8, d_ff=64,
+                           num_layers=1, num_decoder_layers=1, num_heads=4))
+    rng = np.random.default_rng(0)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        question_input_ids=np.zeros((1, 16), np.int32),
+        question_attention_masks=np.ones((1, 16), np.int32),
+        decoder_question_input_ids=np.zeros((1, 20), np.int32),
+        decoder_question_attention_masks=np.ones((1, 20), np.int32),
+        pixel_values=rng.random((1, 224, 224, 3)).astype(np.float32),
+    )["params"]
+    session = VQAInferenceSession(model, params, answers, "vit",
+                                  batch_size=2)
+    images_dir = os.path.join(root, kw["images_dir"])
+    img = os.path.join(images_dir, sorted(os.listdir(images_dir))[0])
+    res = session.ask(img, "what is here?", top_k=2)
+    assert res["answer"] in answers and len(res["top_answers"]) == 2
