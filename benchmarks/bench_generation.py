@@ -6,8 +6,9 @@ passes inside lax.fori_loop, static shapes, no KV cache at <=25 tokens).
 This measures it end-to-end: 5 generated tokens over the T5 vocab.
 
 Timing: the whole generate call is ONE jitted program (the fori_loop lives
-inside), so a single call + fetch is honest through the async tunnel after
-subtracting the fetch baseline; we still median over repeats.
+inside); reported ms_per_call is the median of call+fetch wall times and
+therefore INCLUDES one host-fetch round-trip (~32ms through this tunnel) —
+a serving-shaped latency number, not pure device time.
 
 Usage: python benchmarks/bench_generation.py [batch]
 """

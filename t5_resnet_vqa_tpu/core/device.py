@@ -24,12 +24,17 @@ def select_device(device: str) -> None:
         return
     if device == "tpu":
         import jax
+        devices = []
         try:
-            if any(d.platform == "tpu" for d in jax.devices()):
-                return          # default resolution already found the TPU
+            devices = jax.devices()
         except Exception:
             pass
-        try:
-            jax.config.update("jax_platforms", "tpu")
-        except Exception:
-            pass
+        if any(d.platform == "tpu" for d in devices):
+            return              # default resolution already found the TPU
+        # jax.devices() above initialized and cached the backends, so a
+        # jax_platforms update here would be a silent no-op — fail loudly
+        # instead of quietly training a 60-epoch run on CPU.
+        raise RuntimeError(
+            "trainer_kwargs.device='tpu' but no TPU devices are visible "
+            f"(found: {[d.platform for d in devices] or 'none'}). "
+            "Use device='cpu' to run on CPU explicitly.")

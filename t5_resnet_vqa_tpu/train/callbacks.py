@@ -146,6 +146,9 @@ class EarlyStopping(Callbacks):
         self.logger.log_message("Saving Epoch Checkpoint")
         self.ckpt.save_tree("checkpoint-model", params)
 
-    def save_state_dict_checkpoint(self, epoch: int, opt_state: Any) -> None:
+    def save_state_dict_checkpoint(self, epoch: int, opt_state: Any,
+                                   global_step: int = 0) -> None:
         self.ckpt.save_tree("state_dict_checkpoint", {
-            "epoch": np.asarray(epoch), "optimizer": opt_state})
+            "epoch": np.asarray(epoch),
+            "global_step": np.asarray(global_step),
+            "optimizer": opt_state})

@@ -122,6 +122,7 @@ class VQATrainer:
             gradient_clipping=tk.gradient_clipping)
         self.opt_state = jax.jit(self.tx.init)(self.params)
         self.global_step = 0
+        self.start_epoch = 0
         self._last_ckpt_step = 0
 
         # --- callbacks ---
@@ -204,20 +205,46 @@ class VQATrainer:
         return variables["params"]
 
     def _try_resume(self):
-        """Auto-resume (entry script :24-26 + optimizer resume ref :269-277)."""
+        """Auto-resume (entry script :24-26 + optimizer resume ref :269-277).
+
+        Crash recovery: when ``checkpoint_every_steps`` is enabled the
+        periodic saves pair ``checkpoint-model`` params with the optimizer
+        state at the same step, so that pair is preferred over the
+        reference's best-model-only contract — resuming best-model params
+        against a mid-epoch optimizer state would mix two points in
+        training. LR schedules continue correctly either way: they ride the
+        optax step count inside the restored optimizer state; epoch count
+        and logged step resume from the checkpoint's metadata (the
+        interrupted epoch is re-run)."""
         ck = self.callbacks.ckpt
-        if ck.exists("best-model"):
-            self.params = ck.restore_tree("best-model", self.params)
+        prefer_periodic = (self.config.trainer.checkpoint_every_steps > 0
+                           and ck.exists("checkpoint-model"))
+        params_name = "checkpoint-model" if prefer_periodic else "best-model"
+        if ck.exists(params_name):
+            self.params = ck.restore_tree(params_name, self.params)
             if self.mesh is not None:
                 self.params = shd.shard_params(self.params, self.mesh)
             self.logger.log_line()
-            self.logger.log_message("Loaded from Best Model: best-model")
+            self.logger.log_message(
+                "Loaded from Best Model: best-model" if not prefer_periodic
+                else "Loaded params from periodic checkpoint-model")
         if ck.exists("state_dict_checkpoint"):
-            target = {"epoch": np.asarray(0), "optimizer": self.opt_state}
-            restored = ck.restore_tree("state_dict_checkpoint", target)
+            target = {"epoch": np.asarray(0),
+                      "global_step": np.asarray(0),
+                      "optimizer": self.opt_state}
+            try:
+                restored = ck.restore_tree("state_dict_checkpoint", target)
+            except Exception:
+                # pre-global_step layout (older checkpoints)
+                target.pop("global_step")
+                restored = ck.restore_tree("state_dict_checkpoint", target)
             self.opt_state = restored["optimizer"]
+            self.start_epoch = int(restored["epoch"])
+            self.global_step = int(restored.get("global_step", 0))
             self.logger.log_line()
-            self.logger.log_message("Loaded Optimizer from Checkpoint")
+            self.logger.log_message(
+                f"Loaded Optimizer from Checkpoint "
+                f"(epoch {self.start_epoch}, step {self.global_step})")
 
     # --------------------------------------------------------------- logging
 
@@ -350,7 +377,7 @@ class VQATrainer:
         self.total_training_time = 0.0
 
         try:
-            for epoch in range(self.epochs):
+            for epoch in range(self.start_epoch, self.epochs):
                 self.cur_epoch = epoch
                 self.logger.log_line()
                 self.train_one_epoch()
@@ -373,7 +400,8 @@ class VQATrainer:
 
         self.callbacks.save_epoch_checkpoint(self.params)
         self.callbacks.save_state_dict_checkpoint(self.cur_epoch,
-                                                  self.opt_state)
+                                                  self.opt_state,
+                                                  self.global_step)
         self.tracker.finish()
 
     def train_one_epoch(self):
@@ -469,7 +497,7 @@ class VQATrainer:
                 # periodic crash-recovery save (fetches params; opt-in cost)
                 self.callbacks.save_epoch_checkpoint(self.params)
                 self.callbacks.save_state_dict_checkpoint(
-                    self.cur_epoch, self.opt_state)
+                    self.cur_epoch, self.opt_state, self.global_step)
                 self._last_ckpt_step = self.global_step
 
             if self.total_train_batch < 10:

@@ -125,3 +125,18 @@ def test_experiment_tracker(tmp_path):
     events = [l["_event"] for l in lines]
     assert events == ["init", "log", "finish"]
     assert lines[1]["loss"] == 0.5
+
+
+def test_select_device_tpu_fails_loudly_without_tpu(monkeypatch):
+    """device='tpu' with no TPU visible must raise, not silently run on CPU
+    (the backend is already initialized, so a jax_platforms update would be
+    a no-op)."""
+    import jax
+    import pytest as _pytest
+    from t5_resnet_vqa_tpu.core import select_device
+
+    class _Fake:
+        platform = "cpu"
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [_Fake()])
+    with _pytest.raises(RuntimeError, match="no TPU devices"):
+        select_device("tpu")

@@ -256,3 +256,30 @@ def test_checkpoint_every_steps(synth, tmp_path, monkeypatch):
     ckpt_dir = os.path.join(str(tmp_path / "ck_steps"), "model_checkpoints")
     assert os.path.isdir(os.path.join(ckpt_dir, "checkpoint-model"))
     assert os.path.isdir(os.path.join(ckpt_dir, "state_dict_checkpoint"))
+
+
+def test_crash_recovery_resume_pairs_params_with_opt_state(synth, tmp_path):
+    """With checkpoint_every_steps on, resume restores the periodic
+    checkpoint-model params + the optimizer state AND step/epoch metadata
+    saved with them (review fix: best-model params must not be paired with a
+    mid-epoch optimizer state)."""
+    root, _ = synth
+    from t5_resnet_vqa_tpu.data import load_answer_spaces
+    answers = load_answer_spaces(os.path.join(root, "answer_spaces.txt"))
+    cfg = _tiny_config(root, tmp_path / "crash", epochs=1)
+    cfg.trainer.checkpoint_every_steps = 2
+    cfg.trainer.monitor_test = False     # never writes best-model
+    t1 = VQATrainer(_tiny_model(len(answers)), cfg, answers)
+    t1.train()
+    final_params = jax.tree.map(np.asarray, t1.params)
+
+    cfg2 = _tiny_config(root, tmp_path / "crash", epochs=1)
+    cfg2.trainer.checkpoint_every_steps = 2
+    cfg2.trainer.load_from_checkpoint = True
+    t2 = VQATrainer(_tiny_model(len(answers)), cfg2, answers)
+    # params came from checkpoint-model (best-model never existed)
+    for a, b in zip(jax.tree.leaves(final_params), jax.tree.leaves(t2.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    # step/epoch metadata restored alongside the optimizer state
+    assert t2.global_step == t1.global_step == 4
+    assert t2.start_epoch == 0

@@ -80,6 +80,11 @@ def main():
         "best_score": info.get("best_score", 0.0),
         "answer_spaces": info["answer_spaces"],
     })
+    # EarlyStopping resumes its best score from this manifest — without it,
+    # continued training would treat the first (worse) validation as an
+    # improvement and clobber the imported best-model
+    ckpt.write_json("model-metrics.json",
+                    {"best-score": info.get("best_score", 0.0)})
     n = sum(1 for _ in __import__("jax").tree_util.tree_leaves(params))
     print(f"imported {n} tensors -> {ckpt.output_dir} "
           f"({len(info['answer_spaces'])} answers)")
