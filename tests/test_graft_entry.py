@@ -16,6 +16,16 @@ def test_dryrun_multichip_on_virtual_devices():
     g.dryrun_multichip(4)
 
 
+@pytest.mark.slow
+def test_dryrun_multichip_bootstraps_subprocess():
+    """Asking for more devices than visible must re-exec with virtual XLA
+    host devices instead of crashing (the round-1 MULTICHIP gate failure:
+    through the axon tunnel only 1 device is visible)."""
+    import __graft_entry__ as g
+    n = len(jax.devices()) * 2
+    g.dryrun_multichip(n)   # raises on subprocess failure
+
+
 def test_trainer_with_mesh(tmp_path):
     """VQATrainer end-to-end under a dp x tp mesh on virtual devices."""
     if len(jax.devices()) < 8:
