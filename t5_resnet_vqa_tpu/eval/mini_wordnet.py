@@ -1,0 +1,242 @@
+"""Vendored noun-hypernym taxonomy for WUPS scoring without the NLTK corpus.
+
+The reference's WUPS metric (/root/reference/dataset_utils/wup_measure.py:46-58)
+computes Wu-Palmer similarity over WordNet noun synsets. This zero-egress
+image has no NLTK corpus, so round 1 silently degraded to exact-match scoring
+— the real code path never ran. This module vendors a small WordNet-style
+noun taxonomy covering the DAQUAR indoor-scene answer vocabulary (household
+objects, colors, numbers) plus the classic dog/cat pair, and implements the
+same Wu-Palmer depth math NLTK uses:
+
+    wup(s1, s2) = 2 * depth(lcs) / (len1 + len2)
+
+where ``lcs`` is the deepest common hypernym, ``depth`` counts nodes from the
+root (root = 1, matching NLTK's ``max_depth() + 1``), and ``len_i`` is the
+node-count distance from ``s_i`` up to the lcs plus ``depth(lcs)``. For
+tree-shaped chains stored root-first that reduces to
+
+    wup = 2 * L / (len(chain1) + len(chain2)),   L = common-prefix length.
+
+Chains follow WordNet 3.0's actual hierarchy where known (e.g. dog/cat share
+``carnivore`` at depth 12, giving the canonical 0.857), so scores are close
+to — but not guaranteed identical with — real NLTK output. When the NLTK
+corpus IS installed, eval/wups.py uses it instead of this module.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+Chain = Tuple[str, ...]
+
+# --- shared hypernym prefixes (root-first) --------------------------------
+_PHYS = ("entity", "physical_entity")
+_OBJ = _PHYS + ("object", "whole")
+_ART = _OBJ + ("artifact",)
+_INSTR = _ART + ("instrumentality",)
+_FURN = _INSTR + ("furnishing", "furniture")
+_SEAT = _FURN + ("seat",)
+_DEV = _INSTR + ("device",)
+_MACH = _DEV + ("machine",)
+_APPL = _DEV + ("appliance", "home_appliance")
+_KAPPL = _APPL + ("kitchen_appliance",)
+_WGOODS = _APPL + ("white_goods",)
+_ELEC = _DEV + ("electronic_equipment",)
+_CONT = _INSTR + ("container",)
+_VESSEL = _CONT + ("vessel",)
+_UTENSIL = _INSTR + ("implement", "utensil")
+_KUTENSIL = _UTENSIL + ("kitchen_utensil",)
+_CUTLERY = _INSTR + ("implement", "eating_utensil")
+_COVER = _ART + ("covering",)
+_CLOTH = _COVER + ("clothing",)
+_DECOR = _ART + ("decoration",)
+_LIVING = _OBJ + ("living_thing", "organism")
+_ANIMAL = _LIVING + ("animal", "chordate", "vertebrate", "mammal", "placental")
+_PLANT = _LIVING + ("plant", "vascular_plant")
+_FOOD = _PHYS + ("matter", "solid", "food")
+_FRUIT = _OBJ + ("natural_object", "plant_part", "plant_organ",
+                 "reproductive_structure", "fruit", "edible_fruit")
+_ABST = ("entity", "abstraction")
+_COLOR = _ABST + ("attribute", "property", "visual_property", "color")
+_CHROM = _COLOR + ("chromatic_color",)
+_ACHROM = _COLOR + ("achromatic_color",)
+_NUM = _ABST + ("measure", "definite_quantity", "number", "integer", "digit")
+_STRUCT = _ART + ("structure",)
+_SURFACE = _ART + ("surface",)
+_PAPER = _ART + ("creation", "product", "work")
+_WRITING = _INSTR + ("implement", "writing_implement")
+
+# --- vocabulary: word -> one or more hypernym chains ----------------------
+# (chain EXCLUDES the word itself; the full path is prefix + (word,))
+_V: Dict[str, List[Chain]] = {
+    # classic calibration pair (real WordNet 3.0 paths)
+    "dog": [_ANIMAL + ("carnivore", "canine")],
+    "cat": [_ANIMAL + ("carnivore", "feline")],
+    # furniture
+    "table": [_FURN], "desk": [_FURN + ("table",)],
+    "chair": [_SEAT], "armchair": [_SEAT + ("chair",)],
+    "stool": [_SEAT], "bench": [_SEAT], "sofa": [_SEAT],
+    "couch": [_SEAT + ("sofa",)], "ottoman": [_SEAT],
+    "bed": [_FURN], "mattress": [_FURN + ("bedroom_furniture",)],
+    "cabinet": [_FURN], "wardrobe": [_FURN + ("cabinet",)],
+    "closet": [_FURN + ("cabinet", "wardrobe")],
+    "dresser": [_FURN + ("cabinet",)], "nightstand": [_FURN + ("table",)],
+    "shelf": [_FURN], "shelves": [_FURN + ("shelf",)],
+    "bookshelf": [_FURN + ("shelf",)],
+    "drawer": [_CONT], "counter": [_FURN + ("table",)],
+    "lamp": [_DEV + ("source_of_illumination",)],
+    "chandelier": [_DEV + ("source_of_illumination", "lamp")],
+    "light": [_DEV + ("source_of_illumination", "lamp")],
+    "candle": [_DEV + ("source_of_illumination",)],
+    # appliances / machines
+    "refrigerator": [_WGOODS], "fridge": [_WGOODS + ("refrigerator",)],
+    "stove": [_KAPPL], "oven": [_KAPPL], "microwave": [_KAPPL],
+    "dishwasher": [_WGOODS], "washing_machine": [_WGOODS],
+    "machine": [_DEV], "heater": [_APPL], "fan": [_APPL],
+    "radiator": [_APPL + ("heater",)],
+    "treadmill": [_MACH + ("exercise_device",)],
+    "exercise_equipment": [_MACH + ("exercise_device",)],
+    # electronics
+    "television": [_ELEC + ("receiver",)],
+    "tv": [_ELEC + ("receiver", "television")],
+    "computer": [_MACH], "laptop": [_MACH + ("computer",)],
+    "monitor": [_ELEC], "keyboard": [_DEV], "mouse": [_ELEC],
+    "printer": [_MACH], "speaker": [_ELEC], "radio": [_ELEC + ("receiver",)],
+    "telephone": [_ELEC], "phone": [_ELEC + ("telephone",)],
+    "remote_control": [_DEV], "remote": [_DEV + ("remote_control",)],
+    "switch": [_DEV], "outlet": [_DEV], "charger": [_DEV],
+    "clock": [_INSTR + ("measuring_instrument", "timepiece")],
+    "cable": [_INSTR + ("conductor", "wire")],
+    "wire": [_INSTR + ("conductor",)],
+    # containers / vessels / kitchenware
+    "bottle": [_VESSEL], "jar": [_VESSEL], "cup": [_VESSEL],
+    "mug": [_VESSEL + ("cup",)], "glass": [_VESSEL],
+    "bowl": [_VESSEL], "pot": [_VESSEL], "pan": [_VESSEL + ("cooking_pot",)],
+    "kettle": [_VESSEL + ("cooking_pot",)], "vase": [_VESSEL + ("jar",)],
+    "box": [_CONT], "bag": [_CONT], "basket": [_CONT],
+    "suitcase": [_CONT + ("case",)], "backpack": [_CONT + ("case", "bag")],
+    "trash_can": [_CONT + ("bin",)], "garbage_bin": [_CONT + ("bin",)],
+    "bin": [_CONT], "bucket": [_VESSEL], "tray": [_CONT + ("receptacle",)],
+    "sink": [_VESSEL + ("basin",)], "bathtub": [_VESSEL],
+    "toilet": [_INSTR + ("furnishing", "plumbing_fixture")],
+    "faucet": [_DEV + ("regulator",)],
+    "plate": [_KUTENSIL + ("crockery",)], "dish": [_KUTENSIL + ("crockery",)],
+    "knife": [_CUTLERY], "fork": [_CUTLERY], "spoon": [_CUTLERY],
+    "chopstick": [_CUTLERY],
+    # coverings / textiles / clothing
+    "curtain": [_COVER + ("furnishing_textile",)],
+    "blinds": [_COVER + ("screen",)],
+    "towel": [_ART + ("fabric", "piece_of_cloth")],
+    "napkin": [_ART + ("fabric", "piece_of_cloth")],
+    "tissue": [_ART + ("fabric", "piece_of_cloth")],
+    "blanket": [_COVER + ("bedclothes",)],
+    "sheet": [_COVER + ("bedclothes",)],
+    "pillow": [_COVER + ("bedclothes", "cushion")],
+    "cushion": [_COVER + ("bedclothes",)],
+    "carpet": [_COVER + ("floor_cover",)],
+    "rug": [_COVER + ("floor_cover", "carpet")],
+    "mat": [_COVER + ("floor_cover",)],
+    "clothes": [_CLOTH], "jacket": [_CLOTH + ("garment", "coat")],
+    "coat": [_CLOTH + ("garment",)], "shirt": [_CLOTH + ("garment",)],
+    "hat": [_CLOTH + ("headdress",)], "shoe": [_CLOTH + ("footwear",)],
+    "shoes": [_CLOTH + ("footwear", "shoe")],
+    # structure / surfaces
+    "door": [_STRUCT + ("obstruction", "barrier", "movable_barrier")],
+    "window": [_STRUCT + ("opening",)],
+    "wall": [_STRUCT + ("partition",)],
+    "floor": [_SURFACE + ("horizontal_surface",)],
+    "ceiling": [_SURFACE + ("upper_surface",)],
+    "ladder": [_INSTR + ("stairway",)],
+    "rack": [_INSTR + ("support", "framework")],
+    "hook": [_INSTR + ("support", "holder")],
+    "hanger": [_INSTR + ("support", "holder")],
+    "frame": [_INSTR + ("support", "framework")],
+    "mirror": [_DEV + ("reflector",)],
+    # paper / pictures / writing
+    "book": [_PAPER + ("publication",)],
+    "books": [_PAPER + ("publication", "book")],
+    "notebook": [_PAPER + ("publication", "book")],
+    "paper": [_ART + ("sheet",)], "poster": [_ART + ("sheet",)],
+    "calendar": [_ART + ("sheet",)], "map": [_ART + ("sheet",)],
+    "picture": [_PAPER + ("representation",)],
+    "photo": [_PAPER + ("representation", "picture")],
+    "photograph": [_PAPER + ("representation", "picture")],
+    "painting": [_PAPER + ("representation", "picture")],
+    "board": [_SURFACE], "whiteboard": [_SURFACE + ("board",)],
+    "blackboard": [_SURFACE + ("board",)],
+    "pen": [_WRITING], "pencil": [_WRITING],
+    # decorations / misc
+    "decoration": [_DECOR], "ornament": [_DECOR],
+    "doll": [_ART + ("plaything",)], "toy": [_ART + ("plaything",)],
+    "teddy_bear": [_ART + ("plaything", "doll")],
+    "ball": [_ART + ("plaything",)],
+    "guitar": [_DEV + ("musical_instrument", "stringed_instrument")],
+    "piano": [_DEV + ("musical_instrument", "keyboard_instrument")],
+    "umbrella": [_DEV + ("canopy",)],
+    "bicycle": [_INSTR + ("conveyance", "vehicle", "wheeled_vehicle")],
+    "bike": [_INSTR + ("conveyance", "vehicle", "wheeled_vehicle",
+                       "bicycle")],
+    "soap": [_PHYS + ("matter", "substance", "cleansing_agent")],
+    "brush": [_UTENSIL + ("cleaning_implement",)],
+    "toothbrush": [_UTENSIL + ("cleaning_implement", "brush")],
+    "sponge": [_UTENSIL + ("cleaning_implement",)],
+    "comb": [_DEV],
+    # living / food
+    "plant": [_LIVING + ("plant",)],
+    "flower": [_PLANT + ("spermatophyte", "angiosperm")],
+    "person": [_LIVING + ("person",)],
+    "food": [_FOOD], "bread": [_FOOD + ("baked_goods",)],
+    "cake": [_FOOD + ("baked_goods",)],
+    "fruit": [_FRUIT[:-2]],
+    "apple": [_FRUIT], "banana": [_FRUIT], "orange": [_FRUIT, _CHROM],
+    # colors
+    "red": [_CHROM], "blue": [_CHROM], "green": [_CHROM],
+    "yellow": [_CHROM], "brown": [_CHROM], "pink": [_CHROM],
+    "purple": [_CHROM], "violet": [_CHROM + ("purple",)],
+    "white": [_ACHROM], "black": [_ACHROM], "gray": [_ACHROM],
+    "grey": [_ACHROM], "beige": [_CHROM + ("brown",)],
+    "tan": [_CHROM + ("brown",)],
+}
+
+# materialize full paths: every chain above excludes the word itself
+_FULL: Dict[str, List[Chain]] = {
+    w: [c + (w,) for c in chains] for w, chains in _V.items()
+}
+
+# numbers: digit and spelled forms are lemmas of the SAME synset (WordNet
+# lists "2" as a lemma of two.n.01), so "2" vs "two" scores 1.0
+_NUMBER_WORDS = ["zero", "one", "two", "three", "four", "five", "six",
+                 "seven", "eight", "nine", "ten"]
+for _i, _w in enumerate(_NUMBER_WORDS):
+    _FULL[_w] = [_NUM + (_w,)]
+    _FULL[str(_i)] = [_NUM + (_w,)]
+
+
+def synsets(word: str) -> List[Chain]:
+    """Full hypernym paths (root-first, ending in the synset's own name)."""
+    return _FULL.get(word, [])
+
+
+def wup(chain_a: Sequence[str], chain_b: Sequence[str]) -> float:
+    """Wu-Palmer similarity of two root-first hypernym paths."""
+    common = 0
+    for x, y in zip(chain_a, chain_b):
+        if x != y:
+            break
+        common += 1
+    if common == 0:
+        return 0.0
+    return 2.0 * common / (len(chain_a) + len(chain_b))
+
+
+def max_wup(word_a: str, word_b: str) -> float:
+    """Most-optimistic pairwise wup over both words' synsets; -1 when either
+    word is out of vocabulary (caller distinguishes OOV from zero overlap)."""
+    a, b = synsets(word_a), synsets(word_b)
+    if not a or not b:
+        return -1.0
+    return max(wup(x, y) for x in a for y in b)
+
+
+def vocabulary() -> List[str]:
+    return sorted(_V.keys())

@@ -124,6 +124,9 @@ class VQATrainer:
         self.global_step = 0
         self.start_epoch = 0
         self._last_ckpt_step = 0
+        # defined even when the epoch loop never runs (e.g. resuming a
+        # completed run with a lowered `epochs`)
+        self.cur_epoch = 0
 
         # --- callbacks ---
         cb = config.callbacks
@@ -207,28 +210,33 @@ class VQATrainer:
     def _try_resume(self):
         """Auto-resume (entry script :24-26 + optimizer resume ref :269-277).
 
-        Crash recovery: when ``checkpoint_every_steps`` is enabled the
-        periodic saves pair ``checkpoint-model`` params with the optimizer
-        state at the same step, so that pair is preferred over the
-        reference's best-model-only contract — resuming best-model params
-        against a mid-epoch optimizer state would mix two points in
-        training. LR schedules continue correctly either way: they ride the
-        optax step count inside the restored optimizer state; epoch count
-        and logged step resume from the checkpoint's metadata (the
+        ``checkpoint-model`` and ``state_dict_checkpoint`` are always written
+        together (per-epoch in train(), and mid-epoch when
+        ``checkpoint_every_steps`` fires), so that pair is the consistent
+        crash-recovery point and is preferred over the reference's
+        best-model-only contract. When only ``best-model`` exists (old runs),
+        params are restored WITHOUT the optimizer state — resuming best-model
+        params against an optimizer state from a different point in training
+        would mix two training states. LR schedules continue correctly: they
+        ride the optax step count inside the restored optimizer state; epoch
+        count and logged step resume from the checkpoint's metadata (an
         interrupted epoch is re-run)."""
         ck = self.callbacks.ckpt
-        prefer_periodic = (self.config.trainer.checkpoint_every_steps > 0
-                           and ck.exists("checkpoint-model"))
-        params_name = "checkpoint-model" if prefer_periodic else "best-model"
+        paired = ck.exists("checkpoint-model")
+        params_name = "checkpoint-model" if paired else "best-model"
         if ck.exists(params_name):
             self.params = ck.restore_tree(params_name, self.params)
             if self.mesh is not None:
                 self.params = shd.shard_params(self.params, self.mesh)
             self.logger.log_line()
             self.logger.log_message(
-                "Loaded from Best Model: best-model" if not prefer_periodic
-                else "Loaded params from periodic checkpoint-model")
-        if ck.exists("state_dict_checkpoint"):
+                "Loaded params from checkpoint-model" if paired
+                else "Loaded from Best Model: best-model")
+        if not paired and ck.exists("state_dict_checkpoint"):
+            self.logger.log_message(
+                "Skipping optimizer state restore: state_dict_checkpoint is "
+                "paired with checkpoint-model, not best-model")
+        if paired and ck.exists("state_dict_checkpoint"):
             target = {"epoch": np.asarray(0),
                       "global_step": np.asarray(0),
                       "optimizer": self.opt_state}
@@ -245,6 +253,8 @@ class VQATrainer:
             self.logger.log_message(
                 f"Loaded Optimizer from Checkpoint "
                 f"(epoch {self.start_epoch}, step {self.global_step})")
+        # the next periodic save counts from the resumed step, not from 0
+        self._last_ckpt_step = self.global_step
 
     # --------------------------------------------------------------- logging
 
@@ -322,11 +332,16 @@ class VQATrainer:
             return new_params, new_opt_state, loss, preds
 
         def eval_step(params, batch):
-            log_probs, loss = model.apply({"params": params}, **batch,
-                                          deterministic=True)
+            log_probs, _ = model.apply({"params": params}, **batch,
+                                       deterministic=True)
+            # per-example NLL so the host can mask the duplicated padding
+            # rows of the final partial batch (drop_remainder=False pads by
+            # repeating samples; a batch-mean loss would count them)
+            per_example_loss = -jnp.take_along_axis(
+                log_probs, batch["annotation_ids"][:, None], axis=-1)[:, 0]
             # ref convert_logits_to_predictions: argmax(exp(log_probs))
             # == argmax(log_probs) (:482-487)
-            return loss, jnp.argmax(log_probs, axis=-1)
+            return per_example_loss, jnp.argmax(log_probs, axis=-1)
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._eval_step = jax.jit(eval_step)
@@ -384,6 +399,13 @@ class VQATrainer:
                 if (self.config.trainer.monitor_test
                         and epoch >= self.config.trainer.first_val_epoch):
                     self.valid_one_epoch()
+                # epoch-end crash-recovery pair: params + optimizer state at
+                # the same point ('0 = epoch-end only' TrainerConfig contract;
+                # epoch+1 = the next epoch to run on resume)
+                self.callbacks.save_epoch_checkpoint(self.params)
+                self.callbacks.save_state_dict_checkpoint(
+                    epoch + 1, self.opt_state, self.global_step)
+                self._last_ckpt_step = self.global_step
                 if self.callbacks.should_stop:
                     self.logger.log_message(
                         f"Early stopping after {epoch + 1} epochs "
@@ -398,10 +420,6 @@ class VQATrainer:
             self.tracker.finish()
             return
 
-        self.callbacks.save_epoch_checkpoint(self.params)
-        self.callbacks.save_state_dict_checkpoint(self.cur_epoch,
-                                                  self.opt_state,
-                                                  self.global_step)
         self.tracker.finish()
 
     def train_one_epoch(self):
@@ -562,7 +580,7 @@ class VQATrainer:
         valid_predictions: List[int] = []
         valid_targets: List[int] = []
         valid_questions: List[Any] = []
-        loss_chunks: List[jax.Array] = []   # device scalars, fetched once
+        loss_chunks: List[jax.Array] = []   # device [B] per-example NLL
         pred_chunks: List[jax.Array] = []   # device [B] argmax per batch
         valid_counts: List[int] = []
 
@@ -580,16 +598,20 @@ class VQATrainer:
             valid_targets.extend(
                 _host_labels(raw_batch)[:valid].tolist())
 
-        # two fetches for the whole epoch (batches dispatched back-to-back)
-        num_batches = len(loss_chunks)
-        total_valid_loss = (
-            float(jnp.stack(loss_chunks).sum()) if loss_chunks else 0.0)
+        # two fetches for the whole epoch (batches dispatched back-to-back);
+        # per-example losses/preds masked to the valid rows on host
+        total_valid_loss = 0.0
+        total_valid_count = 0
         if pred_chunks:
             all_preds = np.asarray(jnp.concatenate(pred_chunks))
+            all_losses = np.asarray(jnp.concatenate(loss_chunks))
             offset = 0
             for preds, valid in zip(pred_chunks, valid_counts):
                 valid_predictions.extend(
                     all_preds[offset:offset + valid].tolist())
+                total_valid_loss += float(
+                    all_losses[offset:offset + valid].sum())
+                total_valid_count += valid
                 offset += preds.shape[0]
 
         predictions_dict_list = []
@@ -608,7 +630,7 @@ class VQATrainer:
             })
 
         avg_wups = (sum(wups_scores) / len(wups_scores)) if wups_scores else 0.0
-        avg_valid_loss = total_valid_loss / max(1, num_batches)
+        avg_valid_loss = total_valid_loss / max(1, total_valid_count)
 
         # best-model checkpointing + patience (honored; see callbacks.py)
         self.callbacks(self.params, avg_wups, self.cur_epoch,

@@ -280,6 +280,10 @@ def test_crash_recovery_resume_pairs_params_with_opt_state(synth, tmp_path):
     # params came from checkpoint-model (best-model never existed)
     for a, b in zip(jax.tree.leaves(final_params), jax.tree.leaves(t2.params)):
         np.testing.assert_array_equal(a, np.asarray(b))
-    # step/epoch metadata restored alongside the optimizer state
+    # step/epoch metadata restored alongside the optimizer state; the
+    # epoch-end save records epoch+1 (the next epoch to run), so resuming a
+    # completed 1-epoch run starts past it instead of re-training epoch 0
     assert t2.global_step == t1.global_step == 4
-    assert t2.start_epoch == 0
+    assert t2.start_epoch == 1
+    # and the loop-never-runs path must not crash (cur_epoch defined)
+    t2.train()
