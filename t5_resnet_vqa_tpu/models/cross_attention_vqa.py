@@ -74,6 +74,15 @@ class CrossAttentionVitVQAModel(nn.Module):
     fine_tune_vision: bool = False
     dtype: Dtype = jnp.float32
 
+    def frozen_modules(self):
+        """Gradient-isolated top-level modules: the ViT embedding stage and
+        every interleaved ViT layer (their inputs AND outputs ride through
+        stop_gradient, ref no_grad semantics)."""
+        if self.fine_tune_vision:
+            return ()
+        n = min(self.vit_config.num_layers, self.roberta_config.num_layers)
+        return ("vit_embeddings",) + tuple(f"vit_layer_{i}" for i in range(n))
+
     @nn.compact
     def __call__(
         self,

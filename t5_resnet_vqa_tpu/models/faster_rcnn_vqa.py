@@ -42,6 +42,10 @@ class FasterRcnnVQAModel(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
 
+    def frozen_modules(self):
+        """Gradient-isolated top-level modules (see ResnetVQAModel)."""
+        return () if self.fine_tune_vision else ("vision_model", "fpn")
+
     @nn.compact
     def __call__(
         self,

@@ -51,6 +51,12 @@ class ResnetVQAModel(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
 
+    def frozen_modules(self):
+        """Top-level param modules with no gradient path (stop_gradient).
+        The optimizer skips them entirely, matching torch's treatment of
+        grad=None params (ref registers them but never updates them)."""
+        return () if self.fine_tune_vision else ("vision_model",)
+
     @nn.compact
     def __call__(
         self,

@@ -45,6 +45,10 @@ class VitVQAModel(nn.Module):
     fusing_dropout: float = 0.5          # ref fusing_layer Dropout (:153)
     dtype: Dtype = jnp.float32
 
+    def frozen_modules(self):
+        """Gradient-isolated top-level modules (see ResnetVQAModel)."""
+        return () if self.fine_tune_vision else ("vision_model",)
+
     def setup(self):
         self.vision_model = ViTModel(self.vit_config, dtype=self.dtype,
                                      name="vision_model")

@@ -18,7 +18,7 @@ loops at step time.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict, Optional, Sequence
 
 import jax
 import optax
@@ -46,22 +46,72 @@ DEFAULT_GROUP_MAP: Dict[str, str] = {
 GROUPS = ("vision", "lm_encoder", "lm_decoder", "fusion", "classifier",
           "default")
 
+# Label for gradient-isolated (stop_gradient) modules. The reference
+# registers frozen vision params in optimizer groups (SURVEY §7 hard-part 5),
+# but torch skips params whose .grad is None at step time — so they get NO
+# weight decay and NO moment state. ``set_to_zero`` replicates that exactly
+# (a plain zero-grad AdamW update would still decay the frozen towers) and
+# allocates no Adam moments for them.
+FROZEN_LABEL = "frozen"
+
 
 def linear_schedule_with_warmup(base_lr: float, num_warmup_steps: int,
                                 num_training_steps: int) -> optax.Schedule:
     """HF get_linear_schedule_with_warmup: ramp 0->lr over warmup, then
-    linear decay to 0 at num_training_steps."""
+    linear decay to 0 at num_training_steps. ``step < warmup`` is strict like
+    HF's, so warmup=0 means NO zero-lr first step (pinned by
+    tests/test_train_dynamics_parity.py against the torch scheduler)."""
 
     def schedule(step):
         import jax.numpy as jnp
         step = jnp.asarray(step, jnp.float32)
-        warmup = jnp.maximum(1.0, float(num_warmup_steps))
+        warmup = float(num_warmup_steps)
         total = float(num_training_steps)
-        warm = step / warmup
+        warm = step / jnp.maximum(1.0, warmup)
         decay = jnp.maximum(0.0, (total - step) / jnp.maximum(1.0, total - warmup))
         return base_lr * jnp.where(step < warmup, warm, decay)
 
     return schedule
+
+
+def scale_by_amsgrad_torch(b1: float = 0.9, b2: float = 0.999,
+                           eps: float = 1e-8) -> optax.GradientTransformation:
+    """AMSGrad with torch.optim.AdamW(amsgrad=True) semantics.
+
+    optax.scale_by_amsgrad maxes the BIAS-CORRECTED second moment, so the
+    (hugely inflated) step-1 estimate nu/(1-b2) stays pinned in nu_max and
+    suppresses updates for thousands of steps. torch maxes the RAW moment and
+    bias-corrects the max each step:
+
+        nu_max = max(nu_max, nu);  denom = sqrt(nu_max / (1-b2^t)) + eps
+
+    This matches the reference trainer's optimizer exactly (pinned by
+    tests/test_train_dynamics_parity.py)."""
+
+    def init_fn(params):
+        import jax.numpy as jnp
+        zeros = lambda: jax.tree.map(jnp.zeros_like, params)
+        return {"count": jnp.zeros([], jnp.int32), "mu": zeros(),
+                "nu": zeros(), "nu_max": zeros()}
+
+    def update_fn(updates, state, params=None):
+        import jax.numpy as jnp
+        del params
+        count = state["count"] + 1
+        t = count.astype(jnp.float32)
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state["mu"], updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * (g * g),
+                          state["nu"], updates)
+        nu_max = jax.tree.map(jnp.maximum, state["nu_max"], nu)
+        bc1 = 1 - b1 ** t
+        bc2 = 1 - b2 ** t
+        new_updates = jax.tree.map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu_max)
+        return new_updates, {"count": count, "mu": mu, "nu": nu,
+                             "nu_max": nu_max}
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def _group_lrs(opt_cfg: OptimizerConfig) -> Dict[str, float]:
@@ -82,7 +132,7 @@ def _base_transform(opt_cfg: OptimizerConfig, schedule) -> optax.GradientTransfo
     opt_type = opt_cfg.type
 
     if opt_type in ("AdamW", "Adam"):
-        scale = (optax.scale_by_amsgrad() if amsgrad
+        scale = (scale_by_amsgrad_torch() if amsgrad
                  else optax.scale_by_adam())
         parts = [scale]
         if opt_type == "AdamW" and wd:
@@ -99,9 +149,12 @@ def _base_transform(opt_cfg: OptimizerConfig, schedule) -> optax.GradientTransfo
 
 
 def label_params(params: Any,
-                 group_map: Optional[Dict[str, str]] = None) -> Any:
-    """Label each leaf by its top-level module's LR group."""
+                 group_map: Optional[Dict[str, str]] = None,
+                 frozen_modules: Sequence[str] = ()) -> Any:
+    """Label each leaf by its top-level module's LR group; modules named in
+    ``frozen_modules`` label as FROZEN_LABEL (no update at all)."""
     gm = group_map or DEFAULT_GROUP_MAP
+    frozen = set(frozen_modules)
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     treedef = jax.tree_util.tree_structure(params)
     labels = []
@@ -112,7 +165,8 @@ def label_params(params: Any,
             if isinstance(key, str):
                 top = key
                 break
-        labels.append(gm.get(top, "default"))
+        labels.append(FROZEN_LABEL if top in frozen
+                      else gm.get(top, "default"))
     return jax.tree_util.tree_unflatten(treedef, labels)
 
 
@@ -122,6 +176,7 @@ def build_optimizer(
     num_training_steps: int,
     gradient_clipping: Optional[float] = 1.0,
     group_map: Optional[Dict[str, str]] = None,
+    frozen_modules: Sequence[str] = (),
 ):
     """Returns (optimizer, label_fn, schedules_by_group).
 
@@ -133,8 +188,9 @@ def build_optimizer(
         for g, lr in _group_lrs(opt_cfg).items()
     }
     transforms = {g: _base_transform(opt_cfg, schedules[g]) for g in GROUPS}
+    transforms[FROZEN_LABEL] = optax.set_to_zero()
 
-    label_fn = lambda params: label_params(params, group_map)
+    label_fn = lambda params: label_params(params, group_map, frozen_modules)
     tx = optax.multi_transform(transforms, label_fn)
     if gradient_clipping:
         tx = optax.chain(optax.clip_by_global_norm(gradient_clipping), tx)

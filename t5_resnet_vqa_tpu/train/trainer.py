@@ -72,6 +72,29 @@ def _host_labels(batch: Dict[str, Any]) -> np.ndarray:
                                 batch["annotation_ids"]))
 
 
+def make_train_step(model, tx):
+    """The trainer's train step (fwd + bwd + clip/grouped update), as a
+    standalone builder so tests can run the EXACT production step function
+    (tests/test_train_dynamics_parity.py pins its 5-step loss trajectory
+    against a torch golden trainer)."""
+
+    def train_step(params, opt_state, batch, dropout_rng):
+        def loss_fn(p):
+            log_probs, loss = model.apply(
+                {"params": p}, **batch, deterministic=False,
+                rngs={"dropout": dropout_rng})
+            return loss, log_probs
+
+        (loss, log_probs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        preds = jnp.argmax(log_probs, axis=-1)
+        return new_params, new_opt_state, loss, preds
+
+    return train_step
+
+
 class VQATrainer:
     def __init__(
         self,
@@ -117,9 +140,10 @@ class VQATrainer:
 
         # --- optimizer + schedule (warmup parity ref :109-111) ---
         self.num_training_steps = max(1, self.total_train_batch * self.epochs)
+        frozen = getattr(model, "frozen_modules", lambda: ())()
         self.tx, self._label_fn, self._schedules = build_optimizer(
             config.optimizer, config.lr_scheduler, self.num_training_steps,
-            gradient_clipping=tk.gradient_clipping)
+            gradient_clipping=tk.gradient_clipping, frozen_modules=frozen)
         self.opt_state = jax.jit(self.tx.init)(self.params)
         self.global_step = 0
         self.start_epoch = 0
@@ -315,21 +339,7 @@ class VQATrainer:
 
     def _build_steps(self):
         model = self.model
-        tx = self.tx
-
-        def train_step(params, opt_state, batch, dropout_rng):
-            def loss_fn(p):
-                log_probs, loss = model.apply(
-                    {"params": p}, **batch, deterministic=False,
-                    rngs={"dropout": dropout_rng})
-                return loss, log_probs
-
-            (loss, log_probs), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
-            updates, new_opt_state = tx.update(grads, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
-            preds = jnp.argmax(log_probs, axis=-1)
-            return new_params, new_opt_state, loss, preds
+        train_step = make_train_step(model, self.tx)
 
         def eval_step(params, batch):
             log_probs, _ = model.apply({"params": params}, **batch,

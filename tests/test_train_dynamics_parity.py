@@ -1,0 +1,191 @@
+"""Training-dynamics parity: 5 optimizer steps vs a torch golden trainer.
+
+Forward parity is pinned elsewhere (test_resnet_vqa_model.py); this pins the
+TRAINING trajectory — grouped-LR AdamW(wd=0.1, amsgrad) + global-norm clip
+1.0 + HF linear-warmup schedule, exactly as the reference trains
+(faster_rcnn_vqa_trainer.py:231-287 optimizer groups/schedule, :391-406 the
+step: zero_grad / forward / backward / clip / step / sched.step). Both sides
+start from identical converted weights and consume identical batches; the
+per-step losses and final trainable params must match to fp32 tolerance.
+
+Also pins the frozen-tower semantics: torch never updates params whose
+.grad is None (the no_grad vision tower), so our optimizer must not either —
+in particular NO weight decay may leak into the frozen backbone (a plain
+zero-grad AdamW update would erode it by lr*wd*p every step).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+sys.path.insert(0, "/root/reference")
+from model.multi_head_vision_text_attn import SGA as RefSGA  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from t5_resnet_vqa_tpu.core.config import (  # noqa: E402
+    LRSchedulerConfig,
+    OptimizerConfig,
+)
+from t5_resnet_vqa_tpu.models.resnet_vqa import ResnetVQAModel  # noqa: E402
+from t5_resnet_vqa_tpu.models.t5 import T5Config  # noqa: E402
+from t5_resnet_vqa_tpu.ops import AttentionConfig  # noqa: E402
+from t5_resnet_vqa_tpu.train.optimizer import build_optimizer  # noqa: E402
+from t5_resnet_vqa_tpu.train.trainer import make_train_step  # noqa: E402
+from t5_resnet_vqa_tpu.utils import torch_convert as tc  # noqa: E402
+
+from test_resnet_parity import _hf_resnet, _randomize_bn_stats  # noqa: E402
+from test_resnet_vqa_model import (  # noqa: E402
+    _SGACfg,
+    _torch_golden_forward,
+)
+from test_t5_parity import _hf_config  # noqa: E402
+
+STEPS = 5
+WARMUP = 2
+VISION_LR, LM_LR, FUSION_LR, CLS_LR = 8e-3, 1e-3, 5e-4, 1e-2
+WD = 0.1
+
+
+def _torch_train_loop(resnet, proj, t5enc, sgas, pooler_lin, cls_lin,
+                      batches):
+    """Reference trainer semantics (faster_rcnn_vqa_trainer.py:391-406)."""
+    trainable = []
+    groups = [
+        # the reference registers the FROZEN vision tower with its own lr
+        # (ref :234-236); torch skips it at step time (grad stays None)
+        {"params": list(resnet.parameters()), "lr": VISION_LR},
+        {"params": list(t5enc.parameters()), "lr": LM_LR},
+        {"params": (list(proj.parameters())
+                    + [p for s in sgas for p in s.parameters()]
+                    + list(pooler_lin.parameters())), "lr": FUSION_LR},
+        {"params": list(cls_lin.parameters()), "lr": CLS_LR},
+    ]
+    for g in groups:
+        trainable += g["params"]
+    opt = torch.optim.AdamW(groups, weight_decay=WD, amsgrad=True)
+    sched = transformers.get_linear_schedule_with_warmup(opt, WARMUP, STEPS)
+
+    losses = []
+    for images, q_ids, q_mask, labels in batches:
+        opt.zero_grad()
+        _, loss, _ = _torch_golden_forward(
+            resnet, proj, t5enc, sgas, pooler_lin, cls_lin,
+            torch.tensor(images), torch.tensor(q_ids),
+            torch.tensor(q_mask), torch.tensor(labels))
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(trainable, 1.0)
+        opt.step()
+        sched.step()
+        losses.append(float(loss))
+    return losses
+
+
+@pytest.mark.slow
+def test_train_dynamics_parity(rng):
+    torch.manual_seed(0)
+    hidden, heads, answers = 64, 4, 17
+    t5_cfg = T5Config(vocab_size=256, d_model=hidden, d_kv=16, d_ff=128,
+                      num_layers=2, num_decoder_layers=2, num_heads=4,
+                      dropout_rate=0.0)
+    sga_cfg = AttentionConfig(hidden_size=hidden, num_heads=heads,
+                              ff_size=hidden, dropout_rate=0.0)
+    variant = "resnet18"
+
+    # --- torch golden pieces (dropout 0 so train mode == eval math) ---
+    resnet = _hf_resnet(variant)
+    with torch.no_grad():
+        _randomize_bn_stats(resnet)
+    proj = torch.nn.ConvTranspose2d(512, hidden, 3, 1, 1)
+    hf_t5 = transformers.T5EncoderModel(_hf_config(t5_cfg))
+    sgas = [RefSGA(_SGACfg(hidden, heads, hidden, dropout=0.0),
+                   _SGACfg(hidden, heads, hidden, dropout=0.0))]
+    pooler_lin = torch.nn.Linear(hidden, 1)
+    cls_lin = torch.nn.Linear(hidden, answers)
+    resnet.eval()  # frozen tower: BN running stats, like the forced .eval()
+
+    # --- identical starting weights on the flax side ---
+    sga_sd = {f"sga_modules.0.{k}": v
+              for k, v in sgas[0].state_dict().items()}
+    # deep-copy: on the CPU backend jnp.asarray can zero-copy a numpy view
+    # that still aliases torch storage, and the torch loop below mutates the
+    # modules in place via opt.step()
+    params = jax.tree.map(lambda v: jnp.asarray(np.array(v, copy=True)), {
+        "vision_model": tc.convert_resnet_hf(resnet.state_dict(), variant),
+        "upscale_layer": {
+            "conv": tc.conv_transpose2d_as_conv(proj.state_dict(), "")},
+        "lang_model": tc.convert_t5_encoder(hf_t5.state_dict(), 2),
+        "sga_modules": tc.convert_sga_stack(sga_sd, 1),
+        "attention_pooler": {
+            "attention": tc.linear(pooler_lin.state_dict(), "")},
+        "classification_layer": tc.linear(cls_lin.state_dict(), ""),
+    })
+    initial_vision = jax.tree.map(np.asarray, params["vision_model"])
+
+    # --- identical batch stream ---
+    B = 2
+    batches = []
+    for i in range(STEPS):
+        images = rng.standard_normal((B, 3, 64, 64)).astype(np.float32)
+        q_ids = rng.integers(2, 256, size=(B, 16)).astype(np.int64)
+        q_mask = np.ones((B, 16), np.int64)
+        q_mask[1, 9 + (i % 4):] = 0
+        labels = rng.integers(0, answers, size=(B,)).astype(np.int64)
+        batches.append((images, q_ids, q_mask, labels))
+
+    want_losses = _torch_train_loop(resnet, proj, hf_t5, sgas, pooler_lin,
+                                    cls_lin, batches)
+
+    # --- our side: the production step over the production optimizer ---
+    model = ResnetVQAModel(
+        answer_spaces=answers, vision_model_name=variant, t5_config=t5_cfg,
+        sga_config=sga_cfg, num_attention_blocks=1)
+    opt_cfg = OptimizerConfig(
+        type="AdamW", vision_lr=VISION_LR, lm_encoder_lr=LM_LR,
+        fusion_lr=FUSION_LR, classifier_lr=CLS_LR,
+        kwargs={"weight_decay": WD, "amsgrad": True})
+    sched_cfg = LRSchedulerConfig(num_warmup_steps=WARMUP)
+    tx, _, _ = build_optimizer(opt_cfg, sched_cfg, STEPS,
+                               gradient_clipping=1.0,
+                               frozen_modules=model.frozen_modules())
+    opt_state = tx.init(params)
+    train_step = jax.jit(make_train_step(model, tx))
+
+    got_losses = []
+    key = jax.random.PRNGKey(0)
+    for images, q_ids, q_mask, labels in batches:
+        batch = dict(
+            question_input_ids=jnp.asarray(q_ids, jnp.int32),
+            question_attention_masks=jnp.asarray(q_mask, jnp.int32),
+            image_tensors=jnp.asarray(images.transpose(0, 2, 3, 1)),
+            annotation_ids=jnp.asarray(labels, jnp.int32),
+        )
+        params, opt_state, loss, _ = train_step(params, opt_state, batch,
+                                                key)
+        got_losses.append(float(loss))
+
+    # loss trajectory matches the torch trainer step-for-step
+    np.testing.assert_allclose(got_losses, want_losses, rtol=3e-4, atol=3e-4)
+    assert got_losses[0] != got_losses[-1]  # it actually trained
+
+    # frozen tower: bitwise untouched (torch: grad is None -> skipped;
+    # ours: set_to_zero label -> no update, no weight decay)
+    for a, b in zip(jax.tree.leaves(initial_vision),
+                    jax.tree.leaves(params["vision_model"])):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+    # trainable params land where torch lands (schedule/clip/amsgrad drift
+    # would show up here even if losses happened to agree)
+    want_cls = cls_lin.weight.detach().numpy().T
+    np.testing.assert_allclose(
+        np.asarray(params["classification_layer"]["kernel"]), want_cls,
+        rtol=5e-3, atol=5e-4)
+    want_pool = pooler_lin.weight.detach().numpy().T
+    np.testing.assert_allclose(
+        np.asarray(params["attention_pooler"]["attention"]["kernel"]),
+        want_pool, rtol=5e-3, atol=5e-4)
