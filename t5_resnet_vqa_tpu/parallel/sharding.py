@@ -96,6 +96,16 @@ def batch_shardings_for(batch: Any, mesh: Mesh) -> Any:
     return jax.tree.map(spec, batch)
 
 
+def stacked_batch_shardings_for(batch: Any, mesh: Mesh) -> Any:
+    """Shardings for a [K, B, ...] stacked batch (steps-per-dispatch scan):
+    the scan dim replicated, the batch dim on the data axis."""
+    def spec(leaf):
+        if getattr(leaf, "ndim", 0) >= 2:
+            return NamedSharding(mesh, P(None, DATA_AXIS))
+        return NamedSharding(mesh, P())
+    return jax.tree.map(spec, batch)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

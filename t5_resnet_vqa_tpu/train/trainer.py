@@ -359,16 +359,10 @@ class VQATrainer:
         # steps-per-loop: K optimizer steps per dispatch via lax.scan over
         # stacked batches. On a tunneled/remote runtime each dispatch costs
         # tens of ms of relay latency (measured ~65ms on this image); K
-        # amortizes it to ~65/K. Mesh runs keep K=1 (the stacked batch
-        # would need per-slice resharding).
-        self._steps_per_dispatch = (
-            1 if self.mesh is not None
-            else max(1, self.config.trainer.steps_per_dispatch))
-        if (self.mesh is not None
-                and self.config.trainer.steps_per_dispatch > 1):
-            self.logger.log_message(
-                "steps_per_dispatch > 1 is not supported with a mesh; "
-                "running 1 step per dispatch")
+        # amortizes it to ~65/K. Under a mesh the stacked [K, B, ...] batch
+        # is sharded P(None, "data") so each scan slice rides the data axis.
+        self._steps_per_dispatch = max(
+            1, self.config.trainer.steps_per_dispatch)
 
         def train_step_multi(params, opt_state, batches, rngs):
             def body(carry, xs):
@@ -388,6 +382,18 @@ class VQATrainer:
         if self.mesh is not None:
             batch = shd.shard_batch(batch, self.mesh)
         return batch
+
+    def _put_stacked(self, raws):
+        """Stack K host batches to [K, B, ...] for the scan dispatch; under a
+        mesh the batch dim (axis 1) is sharded over "data", the scan dim
+        replicated."""
+        if self.mesh is None:
+            return jax.tree.map(lambda *xs: jnp.stack(xs),
+                                *[self._put_batch(r) for r in raws])
+        stacked = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                               *[_device_batch(r) for r in raws])
+        return jax.device_put(stacked,
+                              shd.stacked_batch_shardings_for(stacked, self.mesh))
 
     def _current_lrs(self) -> Dict[str, float]:
         return {g: float(s(self.global_step))
@@ -496,9 +502,7 @@ class VQATrainer:
                 train_targets.extend(_host_labels(r).tolist())
 
             if len(raws) == K and K > 1:
-                batches = jax.tree.map(
-                    lambda *xs: jnp.stack(xs),
-                    *[self._put_batch(r) for r in raws])
+                batches = self._put_stacked(raws)
                 self._rng, drop_rng = jax.random.split(self._rng)
                 rngs = jax.random.split(drop_rng, K)
                 self.params, self.opt_state, losses, preds = (

@@ -26,6 +26,65 @@ def test_dryrun_multichip_bootstraps_subprocess():
     g.dryrun_multichip(n)   # raises on subprocess failure
 
 
+def test_mesh_trainer_losses_match_single_device(tmp_path):
+    """Same seed, same data: a dp4 x tp2 mesh run with steps_per_dispatch=3
+    must reproduce the single-device per-epoch train/valid losses (sharded
+    reductions reorder float sums, hence the 1e-4 tolerance). Also covers
+    K>1 scan dispatch under a mesh (the round-1 K=1 restriction)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import json
+    import os
+
+    from t5_resnet_vqa_tpu.data import load_answer_spaces, make_synthetic_daquar
+    from t5_resnet_vqa_tpu.parallel import make_mesh
+    from t5_resnet_vqa_tpu.train import VQATrainer
+
+    from t5_resnet_vqa_tpu.models.resnet_vqa import ResnetVQAModel
+    from t5_resnet_vqa_tpu.models.t5 import T5Config
+    from t5_resnet_vqa_tpu.ops import AttentionConfig
+
+    from test_trainer import _tiny_config
+
+    root, _ = make_synthetic_daquar(str(tmp_path / "d"), num_train=96,
+                                    num_test=8, image_size=64)
+    answers = load_answer_spaces(os.path.join(root, "answer_spaces.txt"))
+
+    def model():
+        # dropout 0: K=1 and K=3 dispatch shapes consume different dropout
+        # key trees, so stochastic regularization can't be compared exactly
+        hidden = 32
+        return ResnetVQAModel(
+            answer_spaces=len(answers), vision_model_name="resnet18",
+            t5_config=T5Config(vocab_size=32128, d_model=hidden, d_kv=8,
+                               d_ff=64, num_layers=1, num_decoder_layers=1,
+                               num_heads=4, dropout_rate=0.0),
+            sga_config=AttentionConfig(hidden_size=hidden, num_heads=4,
+                                       ff_size=hidden, dropout_rate=0.0),
+            num_attention_blocks=1)
+
+    def run(out, mesh, k):
+        cfg = _tiny_config(root, tmp_path / out, epochs=2)
+        cfg.dataset.train_batch_size = 8
+        cfg.dataset.test_batch_size = 8
+        cfg.trainer.steps_per_dispatch = k
+        trainer = VQATrainer(model(), cfg, answers, mesh=mesh)
+        trainer.train()
+        rows = [json.loads(l) for l in
+                open(tmp_path / out / "metrics.jsonl")]
+        train = [r["train_avg_loss"] for r in rows if "train_avg_loss" in r]
+        valid = [r["valid_avg_loss"] for r in rows if "valid_avg_loss" in r]
+        return train, valid
+
+    t_single, v_single = run("single", None, 1)
+    mesh = make_mesh(data_axis_size=4, model_axis_size=2)
+    t_mesh, v_mesh = run("mesh", mesh, 3)
+
+    assert len(t_single) == len(t_mesh) == 2
+    np.testing.assert_allclose(t_mesh, t_single, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(v_mesh, v_single, rtol=2e-4, atol=2e-4)
+
+
 def test_trainer_with_mesh(tmp_path):
     """VQATrainer end-to-end under a dp x tp mesh on virtual devices."""
     if len(jax.devices()) < 8:
