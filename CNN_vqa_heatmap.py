@@ -18,6 +18,7 @@ from t5_resnet_vqa_tpu.data import (
     DaquarDataset,
     DataLoader,
     DaquarVitCollate,
+    get_tokenizer,
 )
 from t5_resnet_vqa_tpu.train import build_model
 from t5_resnet_vqa_tpu.train.callbacks import CheckpointManager
@@ -59,16 +60,20 @@ def main(mode: str = "cam"):
                             "test")
     # uint8 wire: models finalize on device; matches the reference's
     # uint8-resize + scale math exactly (data/preprocessing.py)
+    tokenizer = (get_tokenizer(dk.language_model_tokenizer,
+                               tokenizer_file=dk.tokenizer_file)
+                 if dk.tokenizer_file else None)
     if mode == "cam":
         collate = DaquarCnnCollate(
             answer_spaces, dk.interpolation_strategy,
             resizing_dimensions=(dk.image_size, dk.image_size),
             lang_model=dk.language_model_tokenizer, eval_mode=True,
-            emit_uint8=dk.uint8_wire_images)
+            tokenizer=tokenizer, emit_uint8=dk.uint8_wire_images)
     else:
         collate = DaquarVitCollate(
             answer_spaces, lang_model=dk.language_model_tokenizer,
-            eval_mode=True, emit_uint8=dk.uint8_wire_images)
+            eval_mode=True, tokenizer=tokenizer,
+            emit_uint8=dk.uint8_wire_images)
     loader = DataLoader(dataset, collate, args.batch_size,
                         drop_remainder=False)
 

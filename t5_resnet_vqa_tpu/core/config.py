@@ -60,6 +60,10 @@ class DatasetConfig:
     images_dir: str = "images"
     image_preprocessor_model: str = "google/vit-base-patch16-224-in21k"
     language_model_tokenizer: str = "t5-base"
+    # path to a user-supplied HF tokenizer.json (e.g. t5-base's): real
+    # sentencepiece-equivalent ids offline — REQUIRED for imported reference
+    # checkpoints to see the vocabulary their embeddings were trained on
+    tokenizer_file: str = ""
     train_batch_size: int = 4
     test_batch_size: int = 16
     interpolation_strategy: str = "bilinear_interpolation"
@@ -112,6 +116,10 @@ class TrainerConfig:
     # the reference's cadence). A mid-epoch crash then loses at most N
     # steps of optimizer state on resume.
     checkpoint_every_steps: int = 0
+    # also compute ROUGE-1/2/L over validation predictions (the reference
+    # implements compute_rouge_metric but never calls it live, ref :489-513;
+    # here the hook is wired behind this flag)
+    compute_rouge: bool = False
 
     def validate(self) -> None:
         if self.epochs <= 0:

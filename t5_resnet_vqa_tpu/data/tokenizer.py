@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import hashlib
 import re
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -123,8 +123,54 @@ class HFTokenizer:
                 out["attention_mask"].astype(np.int32))
 
 
-def get_tokenizer(lang_model: str = "t5-base"):
-    """HF tokenizer if its files are available locally, else HashTokenizer."""
+class TokenizerFileTokenizer:
+    """Real-vocabulary tokenizer from a user-supplied ``tokenizer.json``.
+
+    The migration path for reference checkpoints: this zero-egress image has
+    no sentencepiece module and no HF cache, but the ``tokenizers`` (fast)
+    runtime IS installed, so a user can drop t5-base's ``tokenizer.json``
+    next to their data and get the exact sentencepiece ids the imported
+    embeddings were trained on (config key ``dataset_kwargs.tokenizer_file``).
+
+    Special tokens are registered in the reference's order
+    (resnet_vqa_daquar_dataset.py:121-129); for t5-base's 32100-entry
+    tokenizer.json they land on ids 32100..32113 — inside the model's 32128
+    embedding rows, same as the reference's un-resized registration.
+    """
+
+    def __init__(self, tokenizer_file: str):
+        from tokenizers import Tokenizer  # deferred import
+
+        self.tok = Tokenizer.from_file(tokenizer_file)
+        self.tok.add_special_tokens(list(SPECIAL_TOKENS))
+        pad = self.tok.token_to_id("<pad>")
+        eos = self.tok.token_to_id("</s>")
+        self.pad_token_id = constants.PAD_TOKEN_ID if pad is None else pad
+        self.eos_token_id = constants.EOS_TOKEN_ID if eos is None else eos
+        self.vocab_size = max(self.tok.get_vocab_size(),
+                              constants.T5_VOCAB_SIZE)
+
+    def __call__(self, texts: Sequence[str], max_length: int,
+                 padding: str = "max_length",
+                 truncation: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+        self.tok.enable_truncation(max_length)
+        self.tok.enable_padding(length=max_length,
+                                pad_id=self.pad_token_id, pad_token="<pad>")
+        encs = self.tok.encode_batch(list(texts))
+        ids = np.asarray([e.ids for e in encs], np.int32)
+        mask = np.asarray([e.attention_mask for e in encs], np.int32)
+        return ids, mask
+
+
+def get_tokenizer(lang_model: str = "t5-base",
+                  tokenizer_file: Optional[str] = None):
+    """Best available real tokenizer:
+
+    1. user-supplied ``tokenizer.json`` (real vocab, works offline),
+    2. HF AutoTokenizer when its files are cached locally,
+    3. HashTokenizer (deterministic offline fallback)."""
+    if tokenizer_file:
+        return TokenizerFileTokenizer(tokenizer_file)
     try:
         return HFTokenizer(lang_model)
     except Exception:

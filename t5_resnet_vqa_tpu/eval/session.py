@@ -84,6 +84,11 @@ class VQAInferenceSession:
         answer_spaces = info["answer_spaces"]
         model, family = build_model(config.model, len(answer_spaces))
         params = ckpt.restore_tree("best-model")
+        if tokenizer is None and config.dataset.tokenizer_file:
+            from ..data import get_tokenizer
+            tokenizer = get_tokenizer(
+                config.dataset.language_model_tokenizer,
+                tokenizer_file=config.dataset.tokenizer_file)
         return cls(model, params, answer_spaces, family,
                    batch_size=batch_size,
                    image_size=config.dataset.image_size,

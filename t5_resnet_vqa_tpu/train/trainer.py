@@ -169,6 +169,12 @@ class VQATrainer:
 
     def _init_dataloaders(self, train_dataset, test_dataset, tokenizer):
         dk = self.config.dataset
+        if tokenizer is None and dk.tokenizer_file:
+            from ..data import get_tokenizer
+            tokenizer = get_tokenizer(dk.language_model_tokenizer,
+                                      tokenizer_file=dk.tokenizer_file)
+            self.logger.log_message(
+                f"Tokenizer: real vocabulary from {dk.tokenizer_file}")
         if train_dataset is None:
             train_dataset = DaquarDataset(dk.root_data_dir, dk.train_csv_file,
                                           dk.images_dir, "train")
@@ -646,6 +652,12 @@ class VQATrainer:
         avg_wups = (sum(wups_scores) / len(wups_scores)) if wups_scores else 0.0
         avg_valid_loss = total_valid_loss / max(1, total_valid_count)
 
+        rouge_overall = None
+        if self.config.trainer.compute_rouge and valid_predictions:
+            from ..eval.rouge import compute_rouge_metric
+            _, rouge_overall = compute_rouge_metric(
+                valid_predictions, valid_targets, self.answer_spaces)
+
         # best-model checkpointing + patience (honored; see callbacks.py)
         self.callbacks(self.params, avg_wups, self.cur_epoch,
                        self.answer_spaces)
@@ -654,6 +666,11 @@ class VQATrainer:
         self.logger.log_message(
             f"Epoch #{self.cur_epoch}: Average Validation Loss: "
             f"{avg_valid_loss:.4f} - Average WUPS Score: {avg_wups:.4f}")
+        if rouge_overall is not None:
+            self.logger.log_message(
+                "Validation ROUGE: " + " - ".join(
+                    f"{k} f={v['fmeasure']:.4f}"
+                    for k, v in rouge_overall.items()))
         self.logger.log_new_line()
 
         pred_dir = os.path.join(self.output_dir, "validation_predictions")
@@ -663,11 +680,15 @@ class VQATrainer:
                 f"{self.cur_epoch}_validation_predictions.json"), "w") as f:
             json.dump(predictions_dict_list, f)
 
-        self.tracker.log({
+        metrics = {
             "epoch": self.cur_epoch,
             "valid_avg_loss": avg_valid_loss,
             "valid_avg_wups": avg_wups,
-        })
+        }
+        if rouge_overall is not None:
+            metrics.update({f"valid_{k}_f": v["fmeasure"]
+                            for k, v in rouge_overall.items()})
+        self.tracker.log(metrics)
         self.last_valid_wups = avg_wups
         self.last_valid_loss = avg_valid_loss
 

@@ -157,3 +157,68 @@ def test_prefetcher_equivalence_and_error_propagation(synth):
 
     with pytest.raises(RuntimeError, match="producer failed"):
         list(Prefetcher(Boom()))
+
+
+# --- tokenizer.json migration path (real vocab offline) -------------------
+
+@pytest.fixture(scope="module")
+def tiny_tokenizer_json(tmp_path_factory):
+    """A t5-shaped tokenizer.json: <pad>=0, </s>=1, <unk>=2, words after,
+    '$A </s>' template — built with the installed `tokenizers` runtime."""
+    tokenizers = pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer, models, pre_tokenizers, processors
+
+    words = ["what", "is", "on", "the", "table", "chair", "red", "blue",
+             "left", "of", "in", "picture", "color"]
+    vocab = {"<pad>": 0, "</s>": 1, "<unk>": 2}
+    for w in words:
+        vocab[w] = len(vocab)
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.post_processor = processors.TemplateProcessing(
+        single="$A </s>", special_tokens=[("</s>", 1)])
+    path = str(tmp_path_factory.mktemp("tok") / "tokenizer.json")
+    tok.save(path)
+    return path, len(vocab)
+
+
+def test_tokenizer_file_contract(tiny_tokenizer_json):
+    from t5_resnet_vqa_tpu.data import get_tokenizer
+
+    path, base_vocab = tiny_tokenizer_json
+    tk = get_tokenizer("t5-base", tokenizer_file=path)
+    assert type(tk).__name__ == "TokenizerFileTokenizer"
+    assert tk.pad_token_id == 0 and tk.eos_token_id == 1
+
+    # special tokens appended after the base vocab in reference order
+    qid = tk.tok.token_to_id(constants.QUESTION_SPECIAL_TOKEN)
+    aid = tk.tok.token_to_id(constants.ANSWER_SPECIAL_TOKEN)
+    assert qid == base_vocab and aid == base_vocab + 1
+
+    ids, mask = tk(["[Question] what is on the table",
+                    "red chair"], max_length=16)
+    assert ids.shape == (2, 16) and mask.shape == (2, 16)
+    assert ids.dtype == np.int32
+    assert ids[0, 0] == qid                    # special token survives
+    row1 = ids[1][mask[1] == 1]
+    assert row1[-1] == tk.eos_token_id         # </s> appended
+    assert (ids[1][mask[1] == 0] == tk.pad_token_id).all()
+
+    # truncation keeps fixed shapes
+    ids2, mask2 = tk(["what " * 50], max_length=8)
+    assert ids2.shape == (1, 8) and mask2[0].sum() == 8
+
+
+def test_collate_with_tokenizer_file(synth, tiny_tokenizer_json):
+    from t5_resnet_vqa_tpu.data import get_tokenizer, load_answer_spaces
+    import os
+
+    root, kwargs = synth
+    path, _ = tiny_tokenizer_json
+    answers = load_answer_spaces(os.path.join(root, "answer_spaces.txt"))
+    tk = get_tokenizer("t5-base", tokenizer_file=path)
+    ds = DaquarDataset(root, "train.csv", "images", "train")
+    collate = DaquarCnnCollate(answers, tokenizer=tk, eval_mode=False)
+    batch = collate([ds[i] for i in range(4)])
+    assert batch["question_input_ids"].shape == (4, constants.QUESTION_MAX_LEN)
+    assert batch["question_input_ids"].max() >= 3   # real (non-pad) ids

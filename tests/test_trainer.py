@@ -287,3 +287,21 @@ def test_crash_recovery_resume_pairs_params_with_opt_state(synth, tmp_path):
     assert t2.start_epoch == 1
     # and the loop-never-runs path must not crash (cur_epoch defined)
     t2.train()
+
+
+def test_compute_rouge_hook(synth, tmp_path):
+    """trainer_kwargs.compute_rouge wires eval/rouge into valid_one_epoch
+    (the reference implements the hook but never calls it, ref :489-513)."""
+    root, _ = synth
+    from t5_resnet_vqa_tpu.data import load_answer_spaces
+    answers = load_answer_spaces(os.path.join(root, "answer_spaces.txt"))
+    cfg = _tiny_config(root, tmp_path / "rouge", epochs=1)
+    cfg.trainer.compute_rouge = True
+    trainer = VQATrainer(_tiny_model(len(answers)), cfg, answers)
+    trainer.train()
+    rows = [json.loads(l)
+            for l in open(tmp_path / "rouge" / "metrics.jsonl")]
+    rouge_rows = [r for r in rows if "valid_rouge1_f" in r]
+    assert rouge_rows, "rouge metrics missing from tracker"
+    for k in ("valid_rouge1_f", "valid_rouge2_f", "valid_rougeL_f"):
+        assert 0.0 <= rouge_rows[-1][k] <= 1.0
