@@ -59,11 +59,22 @@ def bench_batch(batch_size):
     batch = make_batch(batch_size, rng)
     params = model.init(jax.random.PRNGKey(0), **batch)["params"]
     cfg = Config()
+    # production optimizer: the trainer excludes stop_gradient'd modules from
+    # the update entirely (trainer.py passes model.frozen_modules()); r1's
+    # bench omitted this and paid AMSGrad moments + decay on the frozen
+    # ResNet50's 25M params every step.
     tx, _, _ = build_optimizer(cfg.optimizer, cfg.lr_scheduler,
                                num_training_steps=10_000,
-                               gradient_clipping=1.0)
+                               gradient_clipping=1.0,
+                               frozen_modules=model.frozen_modules())
     opt_state = jax.jit(tx.init)(params)
-    base_rng = jax.random.PRNGKey(42)
+    # production dropout-RNG path (TrainerConfig.fast_dropout_rng): TPU
+    # hardware RNG for mask bits — threefry mask generation alone measured
+    # ~8 ms/step at B=128 (benchmarks/bench_bwd_variants.py)
+    if jax.devices()[0].platform == "tpu":
+        base_rng = jax.random.key(42, impl="rbg")
+    else:
+        base_rng = jax.random.PRNGKey(42)
 
     @jax.jit
     def run_n(p, s, b, n):

@@ -131,6 +131,13 @@ class VQATrainer:
 
         # --- params ---
         self._rng = jax.random.PRNGKey(tk.seed)
+        # dropout keys ride the TPU hardware RNG ("rbg") when enabled —
+        # threefry mask generation measured ~7ms/step at B=128 (see
+        # benchmarks/train_step.md); param-init keys stay threefry
+        if tk.fast_dropout_rng and jax.devices()[0].platform == "tpu":
+            self._drop_rng = jax.random.key(tk.seed + 1, impl="rbg")
+        else:
+            self._drop_rng = jax.random.PRNGKey(tk.seed + 1)
         if params is None:
             params = self._init_params()
         if self.mesh is not None:
@@ -273,9 +280,20 @@ class VQATrainer:
             try:
                 restored = ck.restore_tree("state_dict_checkpoint", target)
             except Exception:
-                # pre-global_step layout (older checkpoints)
-                target.pop("global_step")
-                restored = ck.restore_tree("state_dict_checkpoint", target)
+                try:
+                    # pre-global_step layout (older checkpoints)
+                    target.pop("global_step")
+                    restored = ck.restore_tree("state_dict_checkpoint",
+                                               target)
+                except Exception:
+                    # layout mismatch (e.g. checkpoint written by a different
+                    # optimizer config) — params are restored, optimizer
+                    # restarts fresh rather than mixing layouts
+                    self.logger.log_message(
+                        "Optimizer state layout mismatch; keeping fresh "
+                        "optimizer state")
+                    self._last_ckpt_step = self.global_step
+                    return
             self.opt_state = restored["optimizer"]
             self.start_epoch = int(restored["epoch"])
             self.global_step = int(restored.get("global_step", 0))
@@ -509,7 +527,7 @@ class VQATrainer:
 
             if len(raws) == K and K > 1:
                 batches = self._put_stacked(raws)
-                self._rng, drop_rng = jax.random.split(self._rng)
+                self._drop_rng, drop_rng = jax.random.split(self._drop_rng)
                 rngs = jax.random.split(drop_rng, K)
                 self.params, self.opt_state, losses, preds = (
                     self._train_step_multi(self.params, self.opt_state,
@@ -519,7 +537,7 @@ class VQATrainer:
             else:
                 for r in raws:                          # leftover / K == 1
                     batch = self._put_batch(r)
-                    self._rng, drop_rng = jax.random.split(self._rng)
+                    self._drop_rng, drop_rng = jax.random.split(self._drop_rng)
                     self.params, self.opt_state, loss, preds = (
                         self._train_step(self.params, self.opt_state, batch,
                                          drop_rng))
