@@ -91,23 +91,33 @@ def bench_batch(batch_size):
         p, s, acc = jax.lax.fori_loop(0, n, body, (p, s, jnp.float32(0)))
         return acc
 
-    t0 = time.time()
-    _ = float(run_n(params, opt_state, batch, 1))
-    log(f"B={batch_size}: compile+first-run {time.time() - t0:.1f}s")
-
-    def timed(n):
+    def measure(b, tag):
         t0 = time.time()
-        _ = float(run_n(params, opt_state, batch, n))
-        return time.time() - t0
+        _ = float(run_n(params, opt_state, b, 1))
+        log(f"B={batch_size}: {tag} compile+first-run {time.time() - t0:.1f}s")
 
-    timed(1)
-    t1 = min(timed(1) for _ in range(3))
-    tN = min(timed(1 + ITERS) for _ in range(2))
-    dt = (tN - t1) / ITERS
-    pairs = batch_size / dt
-    log(f"B={batch_size}: {dt * 1e3:.2f} ms/step = {pairs:.0f} pairs/s "
-        f"(t1={t1 * 1e3:.0f}ms tN={tN * 1e3:.0f}ms)")
-    return dt, pairs
+        def timed(n):
+            t0 = time.time()
+            _ = float(run_n(params, opt_state, b, n))
+            return time.time() - t0
+
+        timed(1)
+        t1 = min(timed(1) for _ in range(3))
+        tN = min(timed(1 + ITERS) for _ in range(2))
+        dt = (tN - t1) / ITERS
+        log(f"B={batch_size}: {tag} {dt * 1e3:.2f} ms/step = "
+            f"{batch_size / dt:.0f} pairs/s")
+        return dt
+
+    dt = measure(batch, "images")
+    # frozen-feature cache path (TrainerConfig.cache_frozen_features):
+    # the tower drops out of the step; vision_features arrive pre-gathered
+    feats = jax.jit(model.compute_vision_features)(
+        params, batch["image_tensors"])
+    cached_batch = {k: v for k, v in batch.items() if k != "image_tensors"}
+    cached_batch["vision_features"] = feats
+    dt_c = measure(cached_batch, "cached")
+    return dt, batch_size / dt, dt_c, batch_size / dt_c
 
 
 def main():
@@ -119,10 +129,12 @@ def main():
         f"(device: {jax.devices()[0].platform})")
     batches = [int(a) for a in sys.argv[1:]] or [32, 64, 128]
     for b in batches:
-        dt, pairs = bench_batch(b)
+        dt, pairs, dt_c, pairs_c = bench_batch(b)
         print(json.dumps({"metric": "train_step_pairs_per_sec",
                           "batch": b, "ms_per_step": round(dt * 1e3, 2),
-                          "value": round(pairs, 1), "unit": "pairs/s"}),
+                          "value": round(pairs, 1), "unit": "pairs/s",
+                          "cached_ms_per_step": round(dt_c * 1e3, 2),
+                          "cached_pairs_per_sec": round(pairs_c, 1)}),
               flush=True)
 
 

@@ -126,6 +126,14 @@ class TrainerConfig:
     # Bernoulli(keep_prob) statistics are identical; param-init RNG stays
     # threefry either way.
     fast_dropout_rng: bool = True
+    # precompute the frozen vision tower's features once per unique image
+    # and train every epoch without the tower (train/feature_cache.py).
+    # Exact math — the tower is gradient-isolated and the collates are
+    # deterministic per image — measured -34% step time on the flagship.
+    # Auto-disabled when the model fine-tunes vision, exposes no
+    # compute_vision_features, runs under a mesh, or the cache would
+    # exceed ~6GB.
+    cache_frozen_features: bool = True
 
     def validate(self) -> None:
         if self.epochs <= 0:

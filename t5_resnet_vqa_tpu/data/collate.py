@@ -53,6 +53,10 @@ class DaquarCollateBase:
         self.rng = np.random.default_rng(seed)
         # OOV fallback class (ViT-path reference behavior, :149-153)
         self._oov_index = self._answer_index.get("O", 0)
+        # False when the trainer's frozen-feature cache is active: image
+        # decode/resize is skipped entirely and batches carry no image
+        # array (the cached tower features ride in instead)
+        self.emit_images = True
 
     # -- shared text/label handling ----------------------------------------
 
@@ -89,10 +93,11 @@ class DaquarCollateBase:
             "question_attention_masks": q_mask,
             "decoder_question_attention_masks": d_mask,
             "annotation_ids": annotation_ids,
-            images_key: images,
             "answer_input_ids": a_ids,
             "answer_attention_masks": a_mask,
         }
+        if images is not None:
+            batch[images_key] = images
         if self.eval_mode:
             batch["answers"] = [s.annotation.answers for s in samples]
             batch["questions"] = [s.question for s in samples]
@@ -116,16 +121,21 @@ class DaquarCnnCollate(DaquarCollateBase):
         self.use_native = use_native
         self.emit_uint8 = emit_uint8
 
-    def __call__(self, samples: Sequence[Sample]) -> Dict[str, np.ndarray]:
-        # [B, H, W, 3] float32 in [0,1], unnormalized (ToTensor-only parity);
-        # emit_uint8 ships resized uint8 and the model divides by 255 on
-        # device — bit-identical to the reference's uint8-resize + ToTensor
-        # path, 4x less H2D (see preprocessing.load_image_batch precision
-        # note)
-        images = load_image_batch(
-            [s.image_path for s in samples], self.resizing_dimensions,
+    def load_images(self, paths: Sequence[str]) -> np.ndarray:
+        """The collate's exact image pipeline for a list of paths —
+        [B, H, W, 3] float32 in [0,1], unnormalized (ToTensor-only parity);
+        emit_uint8 ships resized uint8 and the model divides by 255 on
+        device — bit-identical to the reference's uint8-resize + ToTensor
+        path, 4x less H2D (see preprocessing.load_image_batch precision
+        note). Also used by the frozen-feature cache precompute."""
+        return load_image_batch(
+            list(paths), self.resizing_dimensions,
             self.interpolation_strategy, normalize=None,
             use_native=self.use_native, emit_uint8=self.emit_uint8)
+
+    def __call__(self, samples: Sequence[Sample]) -> Dict[str, np.ndarray]:
+        images = (self.load_images([s.image_path for s in samples])
+                  if self.emit_images else None)
         return self._assemble(samples, "image_tensors", images)
 
 
@@ -145,14 +155,18 @@ class DaquarVitCollate(DaquarCollateBase):
         self.use_native = use_native
         self.emit_uint8 = emit_uint8
 
-    def __call__(self, samples: Sequence[Sample]) -> Dict[str, np.ndarray]:
+    def load_images(self, paths: Sequence[str]) -> np.ndarray:
         # emit_uint8 defers the rescale+normalize to the model's first
         # device op (models/image_input.py) — 4x less H2D; same fp32 math as
         # the host path on the same uint8-resized pixels
-        images = load_image_batch(
-            [s.image_path for s in samples],
+        return load_image_batch(
+            list(paths),
             (constants.VIT_IMAGE_SIZE, constants.VIT_IMAGE_SIZE),
             "bilinear_interpolation",
             normalize=(self.VIT_MEAN, self.VIT_STD),
             use_native=self.use_native, emit_uint8=self.emit_uint8)
+
+    def __call__(self, samples: Sequence[Sample]) -> Dict[str, np.ndarray]:
+        images = (self.load_images([s.image_path for s in samples])
+                  if self.emit_images else None)
         return self._assemble(samples, "pixel_values", images)

@@ -61,6 +61,9 @@ class DataLoader:
             samples = [self.dataset[int(i)] for i in idx]
             batch = self.collate_fn(samples)
             batch["_valid"] = np.asarray(valid, np.int32)
+            # dataset row ids (host metadata, "_"-stripped before the model):
+            # the frozen-feature cache maps these to cached tower features
+            batch["_indices"] = idx.astype(np.int32)
             yield batch
 
 
@@ -86,8 +89,9 @@ class Prefetcher:
             return batch
         out = {}
         for k, v in batch.items():
-            # 0-d arrays (e.g. the `_valid` count) are host-side metadata
-            if isinstance(v, np.ndarray) and v.dtype != object and v.ndim:
+            # "_"-prefixed keys (`_valid`, `_indices`) are host-side metadata
+            if (isinstance(v, np.ndarray) and v.dtype != object and v.ndim
+                    and not k.startswith("_")):
                 out[k] = (jax.device_put(v, self.sharding)
                           if self.sharding is not None else jax.device_put(v))
             else:

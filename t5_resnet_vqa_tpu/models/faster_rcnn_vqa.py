@@ -46,12 +46,24 @@ class FasterRcnnVQAModel(nn.Module):
         """Gradient-isolated top-level modules (see ResnetVQAModel)."""
         return () if self.fine_tune_vision else ("vision_model", "fpn")
 
+    def compute_vision_features(self, params, image_tensors):
+        """Out-of-graph frozen tower+FPN forward for the feature cache
+        (train/feature_cache.py) — same math as the in-graph path below."""
+        x = finalize_image_input(image_tensors)
+        feats = ResNetBackbone("resnet50", dtype=self.dtype,
+                               parent=None).apply(
+            {"params": params["vision_model"]}, x)
+        levels = FPN(self.fpn_channels, dtype=self.dtype,
+                     parent=None).apply(
+            {"params": params["fpn"]}, feats)
+        return levels["pool"]
+
     @nn.compact
     def __call__(
         self,
         question_input_ids: jnp.ndarray,
         question_attention_masks: jnp.ndarray,
-        image_tensors: jnp.ndarray,               # [B, 256, 256, 3] NHWC
+        image_tensors: Optional[jnp.ndarray] = None,  # [B, 256, 256, 3] NHWC
         annotation_ids: Optional[jnp.ndarray] = None,
         decoder_question_input_ids: Optional[jnp.ndarray] = None,
         decoder_question_attention_masks: Optional[jnp.ndarray] = None,
@@ -59,17 +71,29 @@ class FasterRcnnVQAModel(nn.Module):
         answer_attention_masks: Optional[jnp.ndarray] = None,
         pixel_values: Optional[jnp.ndarray] = None,
         question_type_ids: Optional[jnp.ndarray] = None,
+        vision_features: Optional[jnp.ndarray] = None,  # cached [B,4,4,256]
         deterministic: bool = True,
         return_features: bool = False,
     ):
         # --- frozen ResNet50 body + FPN (ref :51-53, 102-106) ---
-        image_tensors = finalize_image_input(image_tensors)  # uint8 wire
-        feats = ResNetBackbone("resnet50", dtype=self.dtype,
-                               name="vision_model")(image_tensors)
-        levels = FPN(self.fpn_channels, dtype=self.dtype, name="fpn")(feats)
-        if not self.fine_tune_vision:
-            levels = jax.tree.map(jax.lax.stop_gradient, levels)
-        vision_features = levels["pool"]              # [B, 4, 4, 256]
+        if vision_features is not None:
+            # precomputed 'pool' level (frozen-feature cache); inputs are
+            # already gradient-isolated. return_features (the heatmap path)
+            # needs the full level dict and never runs cached.
+            if return_features:
+                raise ValueError(
+                    "return_features requires the in-graph tower")
+            levels = None
+            vision_features = vision_features.astype(self.dtype)
+        else:
+            image_tensors = finalize_image_input(image_tensors)  # uint8 wire
+            feats = ResNetBackbone("resnet50", dtype=self.dtype,
+                                   name="vision_model")(image_tensors)
+            levels = FPN(self.fpn_channels, dtype=self.dtype,
+                         name="fpn")(feats)
+            if not self.fine_tune_vision:
+                levels = jax.tree.map(jax.lax.stop_gradient, levels)
+            vision_features = levels["pool"]          # [B, 4, 4, 256]
 
         hidden = self.sga_config.hidden_size
         vision_embeddings = ChannelProjection(

@@ -57,12 +57,23 @@ class ResnetVQAModel(nn.Module):
         grad=None params (ref registers them but never updates them)."""
         return () if self.fine_tune_vision else ("vision_model",)
 
+    def compute_vision_features(self, params, image_tensors):
+        """Out-of-graph frozen-tower forward for the feature cache
+        (train/feature_cache.py): the exact math of the in-graph tower path
+        below (uint8 finalize -> backbone -> C5 map). Exact-equality parity
+        with the in-graph path is pinned by tests/test_feature_cache.py."""
+        x = finalize_image_input(image_tensors)
+        feats = ResNetBackbone(self.vision_model_name, dtype=self.dtype,
+                               parent=None).apply(
+            {"params": params["vision_model"]}, x)
+        return feats[-1]
+
     @nn.compact
     def __call__(
         self,
         question_input_ids: jnp.ndarray,          # [B, 16]
         question_attention_masks: jnp.ndarray,    # [B, 16]
-        image_tensors: jnp.ndarray,               # [B, H, W, 3] NHWC in [0,1]
+        image_tensors: Optional[jnp.ndarray] = None,  # [B, H, W, 3] NHWC [0,1]
         annotation_ids: Optional[jnp.ndarray] = None,   # [B]
         decoder_question_input_ids: Optional[jnp.ndarray] = None,   # unused (parity)
         decoder_question_attention_masks: Optional[jnp.ndarray] = None,
@@ -70,16 +81,22 @@ class ResnetVQAModel(nn.Module):
         answer_attention_masks: Optional[jnp.ndarray] = None,
         pixel_values: Optional[jnp.ndarray] = None,
         question_type_ids: Optional[jnp.ndarray] = None,
+        vision_features: Optional[jnp.ndarray] = None,  # cached C5 [B,8,8,C]
         deterministic: bool = True,
         return_features: bool = False,
     ):
         # --- frozen vision tower (ref :115-135) ---
-        image_tensors = finalize_image_input(image_tensors)  # uint8 wire
-        feats = ResNetBackbone(self.vision_model_name, dtype=self.dtype,
-                               name="vision_model")(image_tensors)
-        image_features = feats[-1]                       # [B, 8, 8, C]
-        if not self.fine_tune_vision:
-            image_features = jax.lax.stop_gradient(image_features)
+        if vision_features is not None:
+            # precomputed by compute_vision_features (frozen-feature cache);
+            # an input is already gradient-isolated
+            image_features = vision_features.astype(self.dtype)
+        else:
+            image_tensors = finalize_image_input(image_tensors)  # uint8 wire
+            feats = ResNetBackbone(self.vision_model_name, dtype=self.dtype,
+                                   name="vision_model")(image_tensors)
+            image_features = feats[-1]                   # [B, 8, 8, C]
+            if not self.fine_tune_vision:
+                image_features = jax.lax.stop_gradient(image_features)
 
         # --- channel projection to 768 (ref upscale/downscale :64-78) ---
         proj_name = ("downscale_layer" if self.vision_model_name == "resnet50"

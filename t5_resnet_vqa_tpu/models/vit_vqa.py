@@ -49,6 +49,17 @@ class VitVQAModel(nn.Module):
         """Gradient-isolated top-level modules (see ResnetVQAModel)."""
         return () if self.fine_tune_vision else ("vision_model",)
 
+    def compute_vision_features(self, params, pixel_values):
+        """Out-of-graph frozen-ViT forward for the feature cache
+        (train/feature_cache.py): pooled CLS [B, 768], same math as
+        ``fuse`` below."""
+        pv = finalize_image_input(
+            pixel_values, (constants.VIT_IMAGE_MEAN, constants.VIT_IMAGE_STD))
+        _, pooled = ViTModel(self.vit_config, dtype=self.dtype,
+                             parent=None).apply(
+            {"params": params["vision_model"]}, pv)
+        return pooled
+
     def setup(self):
         self.vision_model = ViTModel(self.vit_config, dtype=self.dtype,
                                      name="vision_model")
@@ -67,21 +78,29 @@ class VitVQAModel(nn.Module):
 
     def fuse(self, question_input_ids, question_attention_masks,
              pixel_values, deterministic: bool = True,
-             return_attentions: bool = False):
+             return_attentions: bool = False, vision_features=None):
         """Frozen ViT pooled CLS + T5-encoder token-0 -> fused [B, d_model]
-        (ref :183-203). Optionally also the ViT attention stack."""
-        pixel_values = finalize_image_input(        # uint8 wire format
-            pixel_values, (constants.VIT_IMAGE_MEAN, constants.VIT_IMAGE_STD))
-        if return_attentions:
-            _, pooled_vision, att_maps = self.vision_model(
-                pixel_values, deterministic, return_attentions=True)
-        else:
-            _, pooled_vision = self.vision_model(pixel_values, deterministic)
+        (ref :183-203). Optionally also the ViT attention stack.
+        ``vision_features`` short-circuits the tower with a cached pooled
+        CLS (compute_vision_features); incompatible with attention maps."""
+        if vision_features is not None and not return_attentions:
+            pooled_vision = vision_features.astype(self.dtype)
             att_maps = None
-        if not self.fine_tune_vision:
-            pooled_vision = jax.lax.stop_gradient(pooled_vision)
-            if att_maps is not None:
-                att_maps = jax.lax.stop_gradient(att_maps)
+        else:
+            pixel_values = finalize_image_input(    # uint8 wire format
+                pixel_values,
+                (constants.VIT_IMAGE_MEAN, constants.VIT_IMAGE_STD))
+            if return_attentions:
+                _, pooled_vision, att_maps = self.vision_model(
+                    pixel_values, deterministic, return_attentions=True)
+            else:
+                _, pooled_vision = self.vision_model(pixel_values,
+                                                     deterministic)
+                att_maps = None
+            if not self.fine_tune_vision:
+                pooled_vision = jax.lax.stop_gradient(pooled_vision)
+                if att_maps is not None:
+                    att_maps = jax.lax.stop_gradient(att_maps)
 
         enc = self.lang_encoder(question_input_ids, question_attention_masks,
                                 deterministic=deterministic)
@@ -122,12 +141,13 @@ class VitVQAModel(nn.Module):
         question_attention_masks: jnp.ndarray,        # [B, Sq]
         decoder_question_input_ids: jnp.ndarray,      # [B, 20]
         decoder_question_attention_masks: jnp.ndarray,  # [B, 20]
-        pixel_values: jnp.ndarray,                    # [B, 224, 224, 3] NHWC
+        pixel_values: Optional[jnp.ndarray] = None,   # [B, 224, 224, 3] NHWC
         annotation_ids: Optional[jnp.ndarray] = None,
         image_tensors: Optional[jnp.ndarray] = None,  # unused (parity)
         answer_input_ids: Optional[jnp.ndarray] = None,
         answer_attention_masks: Optional[jnp.ndarray] = None,
         question_type_ids: Optional[jnp.ndarray] = None,
+        vision_features: Optional[jnp.ndarray] = None,  # cached CLS [B, 768]
         deterministic: bool = True,
         return_attentions: bool = False,
     ):
@@ -137,7 +157,8 @@ class VitVQAModel(nn.Module):
                 deterministic, return_attentions=True)
         else:
             fused = self.fuse(question_input_ids, question_attention_masks,
-                              pixel_values, deterministic)
+                              pixel_values, deterministic,
+                              vision_features=vision_features)
             att_maps = None
 
         dec = self.decode_hidden(decoder_question_input_ids,

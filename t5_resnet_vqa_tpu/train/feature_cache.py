@@ -1,0 +1,147 @@
+"""Frozen-tower feature cache: precompute each unique image's vision
+features once, then train every epoch without the tower.
+
+The reference re-runs its frozen (``torch.no_grad``) vision tower on every
+image every epoch (resnet_vqa_model.py:115-135). On DAQUAR the image set is
+tiny relative to the QA-pair set (~1.4k unique images for ~12.5k train
+pairs) and the collates are deterministic per image path (ToTensor-only /
+fixed resize+normalize, data/collate.py), so the tower output per image is
+a training-run constant. This module:
+
+  * runs the model's ``compute_vision_features`` (the exact in-graph tower
+    math) over the union of unique image paths across the train/test
+    datasets, in fixed-size jit batches (ONE compiled program);
+  * keeps the result as one device-resident array ``[n_images, *feat]`` in
+    the model's compute dtype (flagship ResNet50 C5: ~256 KB/image bf16,
+    so ~0.4 GB for DAQUAR; ViT pooled CLS: 1.5 KB/image);
+  * maps dataset rows to cache slots via the ``_indices`` metadata the
+    DataLoader emits, gathering ``vision_features`` on device per batch.
+
+Training math is unchanged: the tower is gradient-isolated either way, the
+cached features are bit-identical to the in-graph path (pinned by
+tests/test_feature_cache.py), and label sampling still re-rolls per epoch
+in the collate. Savings measured on the flagship at B=128: the 12.4 ms
+tower forward — ~34% of the train step — drops out entirely after the
+(sub-second) precompute pass; host image decode/resize drops out of every
+epoch too (collate.emit_images=False).
+
+Not applicable (the trainer auto-disables and logs): fine-tuned towers,
+models without ``compute_vision_features`` (CrossAttentionVitVQAModel —
+its image stream interleaves with text layers), heatmap paths that need
+attention maps / raw feature pyramids, and mesh runs (the cache gather is
+single-device; lift when a sharded use case appears).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# above this estimated cache size the trainer refuses to cache (keeps HBM
+# for activations); generous for DAQUAR-scale image sets
+DEFAULT_MAX_CACHE_BYTES = 6 * 1024 ** 3
+
+
+class FrozenFeatureCache:
+    """Device array of per-image tower features + path->slot map."""
+
+    def __init__(self, features: jax.Array, path_to_slot: Dict[str, int]):
+        self.features = features
+        self.path_to_slot = path_to_slot
+        self._gather = jax.jit(lambda cache, idx: jnp.take(cache, idx,
+                                                           axis=0))
+
+    @property
+    def nbytes(self) -> int:
+        return self.features.size * self.features.dtype.itemsize
+
+    def row_map(self, dataset) -> np.ndarray:
+        """[len(dataset)] int32: dataset row -> cache slot."""
+        return np.asarray(
+            [self.path_to_slot[dataset[i].image_path]
+             for i in range(len(dataset))], np.int32)
+
+    def gather(self, img_idx: np.ndarray) -> jax.Array:
+        """[B] slots -> [B, *feat] device features (async dispatch)."""
+        return self._gather(self.features, jnp.asarray(img_idx))
+
+
+def unique_image_paths(datasets: Sequence) -> List[str]:
+    """Union of image paths across datasets, first-seen order."""
+    seen: Dict[str, None] = {}
+    for ds in datasets:
+        for i in range(len(ds)):
+            seen.setdefault(ds[i].image_path, None)
+    return list(seen)
+
+
+def build_feature_cache(
+    model,
+    params,
+    datasets: Sequence,
+    load_images: Callable[[Sequence[str]], np.ndarray],
+    batch_size: int = 64,
+    max_bytes: int = DEFAULT_MAX_CACHE_BYTES,
+) -> Optional[Tuple[FrozenFeatureCache, float]]:
+    """Precompute tower features for every unique image.
+
+    ``load_images`` must be the training collate's own image pipeline
+    (DaquarCollateBase.load_images) so cached features see exactly the
+    pixels the in-graph path would. Returns (cache, build_seconds), or
+    None when the estimated cache exceeds ``max_bytes``.
+    """
+    import time
+
+    t0 = time.time()
+    paths = unique_image_paths(datasets)
+    n = len(paths)
+    if not n:
+        return None
+
+    tower = jax.jit(model.compute_vision_features)
+
+    chunks: List[jax.Array] = []
+    feat_bytes = None
+    for start in range(0, n, batch_size):
+        chunk = paths[start:start + batch_size]
+        # pad the tail chunk so every dispatch hits the same executable
+        pad = batch_size - len(chunk)
+        imgs = load_images(chunk + [chunk[-1]] * pad)
+        feats = tower(params, imgs)
+        if feat_bytes is None:
+            feat_bytes = (feats.size // batch_size) * feats.dtype.itemsize
+            if feat_bytes * n > max_bytes:
+                return None
+        chunks.append(feats[:batch_size - pad] if pad else feats)
+    features = jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+    cache = FrozenFeatureCache(features, {p: i for i, p in enumerate(paths)})
+    return cache, time.time() - t0
+
+
+class CachedFeatureLoader:
+    """Wrap a DataLoader: attach gathered ``vision_features`` per batch.
+
+    The gather is an async device dispatch riding the ``_indices`` row
+    metadata; images are no longer in the batch (the collate's
+    ``emit_images`` is off), so the prefetcher transfers ~KBs of text feeds
+    plus a device-side gather instead of MBs of pixels.
+    """
+
+    def __init__(self, loader, cache: FrozenFeatureCache,
+                 row_to_slot: np.ndarray):
+        self.loader = loader
+        self.cache = cache
+        self.row_to_slot = row_to_slot
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        for batch in self.loader:
+            rows = np.asarray(batch["_indices"])
+            batch["vision_features"] = self.cache.gather(
+                self.row_to_slot[rows])
+            yield batch

@@ -169,6 +169,12 @@ class VQATrainer:
         if tk.load_from_checkpoint:
             self._try_resume()
 
+        # frozen-feature cache: after resume (features must come from the
+        # params that will actually train), before the steps are built
+        self._feature_cache = None
+        if tk.cache_frozen_features:
+            self._setup_feature_cache()
+
         self._log_startup_summary()
         self._build_steps()
 
@@ -235,6 +241,53 @@ class VQATrainer:
         for batch in self.train_dataloader:
             return _device_batch(batch)
         raise RuntimeError("empty train dataloader")
+
+    def _setup_feature_cache(self):
+        """Build the frozen-tower feature cache and swap the dataloaders to
+        the cached path (train/feature_cache.py). No-ops (with a log line)
+        whenever the model/run shape doesn't support exact caching."""
+        model = self.model
+        why = None
+        if self.mesh is not None:
+            why = "mesh run (cache gather is single-device)"
+        elif not hasattr(model, "compute_vision_features"):
+            why = f"{type(model).__name__} has no separable frozen tower"
+        elif not getattr(model, "frozen_modules", lambda: ())():
+            why = "vision tower is fine-tuned"
+        if why is None:
+            try:
+                self.train_dataloader.dataset[0].image_path
+            except Exception:
+                why = "dataset rows carry no image_path"
+        if why is not None:
+            self.logger.log_message(f"Frozen-feature cache: off ({why})")
+            return
+
+        from .feature_cache import CachedFeatureLoader, build_feature_cache
+        datasets = [self.train_dataloader.dataset,
+                    self.test_dataloader.dataset]
+        collates = [self.train_dataloader.collate_fn,
+                    self.test_dataloader.collate_fn]
+        built = build_feature_cache(
+            model, self.params, datasets, collates[0].load_images,
+            batch_size=min(64, max(1, len(datasets[0]))))
+        if built is None:
+            self.logger.log_message(
+                "Frozen-feature cache: off (estimated size exceeds cap)")
+            return
+        cache, secs = built
+        self._feature_cache = cache
+        self.train_dataloader = CachedFeatureLoader(
+            self.train_dataloader, cache, cache.row_map(datasets[0]))
+        self.test_dataloader = CachedFeatureLoader(
+            self.test_dataloader, cache, cache.row_map(datasets[1]))
+        for c in collates:
+            c.emit_images = False       # skip image decode for every epoch
+        self.logger.log_message(
+            f"Frozen-feature cache: {cache.features.shape[0]} images, "
+            f"{cache.nbytes / 1e6:.0f} MB {cache.features.dtype} on device, "
+            f"built in {secs:.1f}s; tower + image preprocessing skipped "
+            f"for all epochs")
 
     def _init_params(self):
         batch = self._sample_batch()
