@@ -76,13 +76,22 @@ def bench_batch(batch_size):
     else:
         base_rng = jax.random.PRNGKey(42)
 
+    # NOTE: the vision input must vary per iteration — with the frozen tower
+    # excluded from the optimizer its params are loop-invariant, and XLA
+    # hoists the whole tower out of the fori_loop on a constant image batch
+    # (measured: hoisted "images" step == cached step). The 1e-20 perturb
+    # defeats the hoist without changing the math measurably.
     @jax.jit
     def run_n(p, s, b, n):
         def body(i, carry):
             p, s, acc = carry
+            bb = dict(b)
+            for k in ("image_tensors", "vision_features"):
+                if k in bb:
+                    bb[k] = bb[k] + (acc * 1e-20).astype(bb[k].dtype)
             def loss_fn(pp):
                 _, loss = model.apply(
-                    {"params": pp}, **b, deterministic=False,
+                    {"params": pp}, **bb, deterministic=False,
                     rngs={"dropout": jax.random.fold_in(base_rng, i)})
                 return loss
             loss, grads = jax.value_and_grad(loss_fn)(p)

@@ -129,7 +129,8 @@ class VQAInferenceSession:
             for i, (img, q) in enumerate(chunk)
         ]
         batch = self.collate(samples)
-        batch = {k: v for k, v in batch.items() if k not in _HOST_KEYS}
+        batch = {k: v for k, v in batch.items()
+                 if k not in _HOST_KEYS and not k.startswith("_")}
         n = len(chunk)
         if n < self.batch_size:   # pad to the compiled shape
             batch = {k: np.concatenate(

@@ -120,7 +120,8 @@ def generate_heatmaps(
 
         device_batch = {k: v for k, v in batch.items()
                         if k not in ("answers", "questions", "image_fns",
-                                     "_valid", "annotation_ids")}
+                                     "annotation_ids")
+                        and not k.startswith("_")}
         out = infer_fn(device_batch)
         log_probs = np.asarray(out["log_probs"])[:valid]
         # ref convert_logits_to_predictions[_topk] :75-87
