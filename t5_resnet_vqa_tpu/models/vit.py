@@ -39,6 +39,16 @@ class ViTConfig:
     image_size: int = 224
     layer_norm_eps: float = 1e-12
     dropout_rate: float = 0.0    # in21k checkpoint ships 0.0
+    # fused Pallas attention. In ISOLATION the kernel beats the XLA einsum
+    # path at this geometry (313 vs 490 us/attention at B=64, bit-identical;
+    # 710 vs 974 us at B=128 — benchmarks/bench_attn_pallas_vs_xla.py), but
+    # inside the full 12-layer tower the custom call blocks XLA's
+    # cross-op fusion/overlap and the tower REGRESSES (B=64: 23.8 vs 23.4
+    # ms; B=128: 58.2 vs 51.5 ms — benchmarks/profile_vit_family.py), so
+    # the default stays False on measurement. Flipping it on is safe
+    # (numerics identical; jnp fallback off-TPU and whenever attention
+    # maps are requested).
+    use_pallas: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -59,7 +69,8 @@ class ViTSelfAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 need_attention: bool = False):
         cfg = self.config
         B, S, _ = x.shape
         head_dim = cfg.hidden_size // cfg.num_heads
@@ -69,12 +80,20 @@ class ViTSelfAttention(nn.Module):
             return y.reshape(B, S, cfg.num_heads, head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = heads("query"), heads("key"), heads("value")
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
-        att = jax.nn.softmax(scores, axis=-1)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", att.astype(self.dtype), v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
+        if cfg.use_pallas and not need_attention:
+            # VMEM-resident fused kernel (jnp fallback off-TPU); the scaled
+            # softmax(QK^T)V math is identical — see ops/pallas/attention.py
+            from ..ops.pallas.attention import fused_attention_grad_safe
+            ctx = fused_attention_grad_safe(q, k, v).astype(self.dtype)
+            att = None
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            scores = scores / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
+            att = jax.nn.softmax(scores, axis=-1)
+            ctx = jnp.einsum(
+                "bhqk,bhkd->bhqd", att.astype(self.dtype), v,
+                preferred_element_type=jnp.float32).astype(self.dtype)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, cfg.hidden_size)
         out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="out")(ctx)
         return out, att
@@ -85,13 +104,14 @@ class ViTLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 need_attention: bool = False):
         cfg = self.config
         ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps,
                                        dtype=self.dtype, name=name)
         att, att_map = ViTSelfAttention(cfg, dtype=self.dtype,
                                         name="attention")(
-            ln("layernorm_before")(x), deterministic)
+            ln("layernorm_before")(x), deterministic, need_attention)
         x = x + att
         h = ln("layernorm_after")(x)
         h = nn.Dense(cfg.mlp_dim, dtype=self.dtype, name="intermediate")(h)
@@ -132,7 +152,7 @@ class ViTModel(nn.Module):
         att_maps = []
         for i in range(cfg.num_layers):
             x, att = ViTLayer(cfg, dtype=self.dtype, name=f"layer_{i}")(
-                x, deterministic)
+                x, deterministic, need_attention=return_attentions)
             if return_attentions:
                 att_maps.append(att)
 

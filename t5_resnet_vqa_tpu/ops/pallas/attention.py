@@ -1,22 +1,33 @@
-"""Fused Pallas TPU attention kernel for the SGA / fusion path.
+"""Fused Pallas TPU attention kernel (head-batched, VMEM-resident).
 
-The SGA sequences are short (text 16/20 tokens, vision 64, ViT 197) with
-head_dim 96, so the win over XLA comes from fusing QK^T -> softmax -> @V into
-one VMEM-resident kernel and amortizing per-block overhead by processing ALL
-heads of one batch element per grid step (head-batched dot_general) instead
-of a (batch*head) grid of tiny blocks.
+Fuses QK^T -> softmax -> @V into one kernel, processing ALL heads of one
+batch element per grid step (head-batched dot_general) instead of a
+(batch*head) grid of tiny blocks — the [Sq, Sk] score tensor never touches
+HBM.
 
 ``fused_attention`` returns None when the kernel doesn't apply (non-TPU
 platform) and callers fall back to the jnp path
-(ops/layers.py:dot_product_attention). Numerics of the two paths are asserted
-equal in tests/test_pallas_attention.py (interpreter on CPU, compiled on TPU).
+(ops/layers.py:dot_product_attention). Numerics of the two paths are
+asserted equal in tests/test_pallas_attention.py (interpreter on CPU,
+compiled on TPU).
 
-Measured on v5e (B=64, H=8, D=96, text 16 / vision 64; see
-benchmarks/pallas_sga.md): the head-batched kernel is ~3x faster than the
-first (batch*head)-grid design, but XLA's own fusion of the unfused einsum
-path is still faster at these sub-MXU block sizes — which is why
-``use_pallas`` defaults to False in the model configs. The kernel is kept
-correct and benchmarked so larger-geometry configs can flip it on.
+Measurement status (v5e — benchmarks/pallas_sga.md):
+
+  * ViT-base attention (H=12, S=197, D=64, bf16): in ISOLATION the kernel
+    beats XLA — 313 vs 490 us/attention at B=64 (bit-identical) and 710
+    vs 974 us at B=128 (benchmarks/bench_attn_pallas_vs_xla.py) — but
+    wired into the full 12-layer tower the custom call blocks XLA's
+    cross-op fusion/overlap and the tower regresses (23.8 vs 23.4 ms at
+    B=64, 58.2 vs 51.5 ms at B=128; benchmarks/profile_vit_family.py).
+    ``ViTConfig.use_pallas`` therefore defaults to False — a microbench
+    win is not an end-to-end win, and defaults follow end-to-end numbers.
+  * SGA geometry (H=8, D=96, 16/64 tokens): XLA's own fusion ties the
+    kernel even in isolation, so SGA's ``use_pallas`` stays False too.
+
+``fused_attention_grad_safe`` wraps the kernel in a custom VJP whose
+backward differentiates the equivalent jnp attention (the kernel itself has
+no Pallas backward) — in production the ViT tower is frozen, so this path
+only exists for fine_tune_vision=True correctness.
 """
 
 from __future__ import annotations
@@ -116,3 +127,39 @@ def fused_attention(
     )(qp, kp, vp)
 
     return out[:, :, :Sq, :D]
+
+
+def _jnp_attention(q, k, v):
+    """Reference math of the kernel (unmasked scaled dot-product)."""
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    att = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", att, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@jax.custom_vjp
+def fused_attention_grad_safe(q, k, v):
+    """fused_attention with a jnp-derived backward.
+
+    Forward: the Pallas kernel (jnp fallback off-TPU). Backward: the VJP of
+    the equivalent jnp attention — exact for the same math, recomputed from
+    (q, k, v). Production towers using the kernel are frozen, so backward
+    only runs under fine_tune_vision=True.
+    """
+    out = fused_attention(q, k, v)
+    return _jnp_attention(q, k, v) if out is None else out
+
+
+def _fas_fwd(q, k, v):
+    return fused_attention_grad_safe(q, k, v), (q, k, v)
+
+
+def _fas_bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_jnp_attention, q, k, v)
+    return vjp(g)
+
+
+fused_attention_grad_safe.defvjp(_fas_fwd, _fas_bwd)
