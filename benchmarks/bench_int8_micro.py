@@ -45,7 +45,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    t0 = time.time()
     float(jnp.ones(()).sum())
+    log(f"tunnel warmup: {time.time() - t0:.1f}s")
     rng = np.random.default_rng(0)
     results = {}
 
@@ -63,7 +65,10 @@ def main():
         def body(_, acc):
             aa = a.at[0, 0].set(acc.astype(a.dtype) * 1e-20)
             c = jnp.dot(aa, b, preferred_element_type=jnp.float32)
-            return acc + c[0, 0]
+            # consume the WHOLE product: a c[0,0]-only consumer lets XLA
+            # slice the matmul down to one dot product (measured "1718
+            # TFLOP/s")
+            return acc + jnp.sum(c) * 1e-9
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     @jax.jit
@@ -73,7 +78,7 @@ def main():
             c = jax.lax.dot_general(
                 aa, b, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            return acc + c[0, 0]
+            return acc + jnp.sum(c)
         return jax.lax.fori_loop(0, n, body, jnp.int32(0))
 
     gflop = 2 * M * K * N / 1e9
@@ -101,7 +106,7 @@ def main():
             y = jax.lax.conv_general_dilated(
                 xx, w, (1, 1), "SAME",
                 dimension_numbers=dn, preferred_element_type=jnp.float32)
-            return acc + y[0, 0, 0, 0]
+            return acc + jnp.sum(y) * 1e-9
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     @jax.jit
@@ -111,7 +116,7 @@ def main():
             y = jax.lax.conv_general_dilated(
                 xx, w, (1, 1), "SAME", dimension_numbers=dn,
                 preferred_element_type=jnp.int32)
-            return acc + y[0, 0, 0, 0]
+            return acc + jnp.sum(y)
         return jax.lax.fori_loop(0, n, body, jnp.int32(0))
 
     cflop = 2 * 64 * 64 * 64 * 256 * 256 * 9 / 1e9
