@@ -89,7 +89,8 @@ def main():
 
     sample = next(iter(loader))
     arrays = {k: v for k, v in sample.items()
-              if k not in ("answers", "questions", "image_fns", "_valid")}
+              if k not in ("answers", "questions", "image_fns")
+              and not k.startswith("_")}
     params = model.init(jax.random.PRNGKey(0), **arrays)["params"]
     cfg = Config()
     tx, _, _ = build_optimizer(cfg.optimizer, cfg.lr_scheduler, 1000,

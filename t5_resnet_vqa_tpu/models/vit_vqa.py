@@ -152,6 +152,13 @@ class VitVQAModel(nn.Module):
         return_attentions: bool = False,
     ):
         if return_attentions:
+            # the rollout path needs the tower's attention maps — cached
+            # pooled features cannot provide them (see FasterRcnnVQAModel's
+            # analogous return_features guard)
+            if vision_features is not None:
+                raise ValueError(
+                    "return_attentions requires the in-graph ViT tower "
+                    "(got cached vision_features)")
             fused, att_maps = self.fuse(
                 question_input_ids, question_attention_masks, pixel_values,
                 deterministic, return_attentions=True)

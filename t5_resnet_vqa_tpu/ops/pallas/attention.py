@@ -130,13 +130,10 @@ def fused_attention(
 
 
 def _jnp_attention(q, k, v):
-    """Reference math of the kernel (unmasked scaled dot-product)."""
-    scale = 1.0 / (q.shape[-1] ** 0.5)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    att = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", att, v,
-                      preferred_element_type=jnp.float32).astype(q.dtype)
+    """Reference math of the kernel — the repo's single jnp implementation
+    (ops/layers.py:dot_product_attention with no mask/dropout)."""
+    from ..layers import dot_product_attention
+    return dot_product_attention(q, k, v)
 
 
 @jax.custom_vjp

@@ -69,13 +69,19 @@ class FrozenFeatureCache:
         return self._gather(self.features, jnp.asarray(img_idx))
 
 
-def unique_image_paths(datasets: Sequence) -> List[str]:
-    """Union of image paths across datasets, first-seen order."""
-    seen: Dict[str, None] = {}
+def collect_image_slots(datasets: Sequence):
+    """One pass over every dataset row: (unique paths in first-seen order,
+    per-dataset row->slot arrays). Each __getitem__ parses a pandas row, so
+    a single materialization pass matters at DAQUAR scale (~12.5k rows)."""
+    slots: Dict[str, int] = {}
+    row_maps: List[np.ndarray] = []
     for ds in datasets:
+        rows = np.empty(len(ds), np.int32)
         for i in range(len(ds)):
-            seen.setdefault(ds[i].image_path, None)
-    return list(seen)
+            path = ds[i].image_path
+            rows[i] = slots.setdefault(path, len(slots))
+        row_maps.append(rows)
+    return list(slots), row_maps
 
 
 def build_feature_cache(
@@ -90,20 +96,25 @@ def build_feature_cache(
 
     ``load_images`` must be the training collate's own image pipeline
     (DaquarCollateBase.load_images) so cached features see exactly the
-    pixels the in-graph path would. Returns (cache, build_seconds), or
-    None when the estimated cache exceeds ``max_bytes``.
+    pixels the in-graph path would. Returns (cache, row_maps,
+    build_seconds) with one row->slot array per dataset, or None when the
+    estimated cache exceeds ``max_bytes``.
     """
     import time
 
     t0 = time.time()
-    paths = unique_image_paths(datasets)
+    paths, row_maps = collect_image_slots(datasets)
     n = len(paths)
     if not n:
         return None
 
     tower = jax.jit(model.compute_vision_features)
 
-    chunks: List[jax.Array] = []
+    # accumulate chunks on HOST: keeping all device chunks alive through a
+    # device-side concatenate would double the cache's peak HBM (near the
+    # cap that's ~12 GB transient on a 16 GB chip); one H2D of the final
+    # array costs a one-time ~0.5s at DAQUAR scale
+    chunks: List[np.ndarray] = []
     feat_bytes = None
     for start in range(0, n, batch_size):
         chunk = paths[start:start + batch_size]
@@ -115,10 +126,12 @@ def build_feature_cache(
             feat_bytes = (feats.size // batch_size) * feats.dtype.itemsize
             if feat_bytes * n > max_bytes:
                 return None
-        chunks.append(feats[:batch_size - pad] if pad else feats)
-    features = jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+        host = np.asarray(feats[:batch_size - pad] if pad else feats)
+        chunks.append(host)
+    features = jax.device_put(
+        np.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0])
     cache = FrozenFeatureCache(features, {p: i for i, p in enumerate(paths)})
-    return cache, time.time() - t0
+    return cache, row_maps, time.time() - t0
 
 
 class CachedFeatureLoader:

@@ -275,12 +275,12 @@ class VQATrainer:
             self.logger.log_message(
                 "Frozen-feature cache: off (estimated size exceeds cap)")
             return
-        cache, secs = built
+        cache, (row_train, row_test), secs = built
         self._feature_cache = cache
         self.train_dataloader = CachedFeatureLoader(
-            self.train_dataloader, cache, cache.row_map(datasets[0]))
+            self.train_dataloader, cache, row_train)
         self.test_dataloader = CachedFeatureLoader(
-            self.test_dataloader, cache, cache.row_map(datasets[1]))
+            self.test_dataloader, cache, row_test)
         for c in collates:
             c.emit_images = False       # skip image decode for every epoch
         self.logger.log_message(
@@ -333,20 +333,13 @@ class VQATrainer:
             try:
                 restored = ck.restore_tree("state_dict_checkpoint", target)
             except Exception:
-                try:
-                    # pre-global_step layout (older checkpoints)
-                    target.pop("global_step")
-                    restored = ck.restore_tree("state_dict_checkpoint",
-                                               target)
-                except Exception:
-                    # layout mismatch (e.g. checkpoint written by a different
-                    # optimizer config) — params are restored, optimizer
-                    # restarts fresh rather than mixing layouts
-                    self.logger.log_message(
-                        "Optimizer state layout mismatch; keeping fresh "
-                        "optimizer state")
-                    self._last_ckpt_step = self.global_step
-                    return
+                # pre-global_step layout (older checkpoints); any OTHER
+                # failure (corrupt/truncated checkpoint, optimizer-config
+                # layout change) propagates loudly — silently restarting
+                # the optimizer/epoch against restored params would corrupt
+                # the run's lineage
+                target.pop("global_step")
+                restored = ck.restore_tree("state_dict_checkpoint", target)
             self.opt_state = restored["optimizer"]
             self.start_epoch = int(restored["epoch"])
             self.global_step = int(restored.get("global_step", 0))
