@@ -25,11 +25,14 @@ tower forward — ~34% of the train step — drops out entirely after the
 (sub-second) precompute pass; host image decode/resize drops out of every
 epoch too (collate.emit_images=False).
 
+Mesh runs are supported via ``host_mode``: the cache stays host-resident
+and the per-batch gather is a numpy fancy-index whose result rides the
+trainer's normal data-axis sharding.
+
 Not applicable (the trainer auto-disables and logs): fine-tuned towers,
 models without ``compute_vision_features`` (CrossAttentionVitVQAModel —
-its image stream interleaves with text layers), heatmap paths that need
-attention maps / raw feature pyramids, and mesh runs (the cache gather is
-single-device; lift when a sharded use case appears).
+its image stream interleaves with text layers), and heatmap paths that
+need attention maps / raw feature pyramids.
 """
 
 from __future__ import annotations
@@ -91,7 +94,8 @@ def build_feature_cache(
     load_images: Callable[[Sequence[str]], np.ndarray],
     batch_size: int = 64,
     max_bytes: int = DEFAULT_MAX_CACHE_BYTES,
-) -> Optional[Tuple[FrozenFeatureCache, float]]:
+    host_resident: bool = False,
+):
     """Precompute tower features for every unique image.
 
     ``load_images`` must be the training collate's own image pipeline
@@ -128,8 +132,11 @@ def build_feature_cache(
                 return None
         host = np.asarray(feats[:batch_size - pad] if pad else feats)
         chunks.append(host)
-    features = jax.device_put(
-        np.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0])
+    host_features = (np.concatenate(chunks, axis=0) if len(chunks) > 1
+                     else chunks[0])
+    # device-resident unless the caller gathers host-side (mesh runs)
+    features = host_features if host_resident else jax.device_put(
+        host_features)
     cache = FrozenFeatureCache(features, {p: i for i, p in enumerate(paths)})
     return cache, row_maps, time.time() - t0
 
@@ -137,17 +144,25 @@ def build_feature_cache(
 class CachedFeatureLoader:
     """Wrap a DataLoader: attach gathered ``vision_features`` per batch.
 
-    The gather is an async device dispatch riding the ``_indices`` row
-    metadata; images are no longer in the batch (the collate's
-    ``emit_images`` is off), so the prefetcher transfers ~KBs of text feeds
-    plus a device-side gather instead of MBs of pixels.
+    Single-device: the gather is an async device dispatch riding the
+    ``_indices`` row metadata; images are no longer in the batch (the
+    collate's ``emit_images`` is off), so the prefetcher transfers ~KBs of
+    text feeds plus a device-side gather instead of MBs of pixels.
+
+    ``host_mode`` (mesh runs): the gather happens on a host copy of the
+    cache and the features ride the normal mesh batch path — the trainer's
+    ``_put_batch``/``_put_stacked`` shard every array leaf over the data
+    axis, and a host numpy leaf is what they expect.
     """
 
     def __init__(self, loader, cache: FrozenFeatureCache,
-                 row_to_slot: np.ndarray):
+                 row_to_slot: np.ndarray, host_mode: bool = False):
         self.loader = loader
         self.cache = cache
         self.row_to_slot = row_to_slot
+        self.host_mode = host_mode
+        self._host_features = (np.asarray(cache.features) if host_mode
+                               else None)
 
     def __len__(self):
         return len(self.loader)
@@ -155,6 +170,9 @@ class CachedFeatureLoader:
     def __iter__(self):
         for batch in self.loader:
             rows = np.asarray(batch["_indices"])
-            batch["vision_features"] = self.cache.gather(
-                self.row_to_slot[rows])
+            slots = self.row_to_slot[rows]
+            if self.host_mode:
+                batch["vision_features"] = self._host_features[slots]
+            else:
+                batch["vision_features"] = self.cache.gather(slots)
             yield batch

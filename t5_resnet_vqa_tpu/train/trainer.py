@@ -248,9 +248,7 @@ class VQATrainer:
         whenever the model/run shape doesn't support exact caching."""
         model = self.model
         why = None
-        if self.mesh is not None:
-            why = "mesh run (cache gather is single-device)"
-        elif not hasattr(model, "compute_vision_features"):
+        if not hasattr(model, "compute_vision_features"):
             why = f"{type(model).__name__} has no separable frozen tower"
         elif not getattr(model, "frozen_modules", lambda: ())():
             why = "vision tower is fine-tuned"
@@ -268,9 +266,14 @@ class VQATrainer:
                     self.test_dataloader.dataset]
         collates = [self.train_dataloader.collate_fn,
                     self.test_dataloader.collate_fn]
+        # mesh runs keep the cache HOST-side: the features then ride the
+        # normal sharded batch path (_put_batch / _put_stacked shard every
+        # array leaf over the data axis)
+        host_mode = self.mesh is not None
         built = build_feature_cache(
             model, self.params, datasets, collates[0].load_images,
-            batch_size=min(64, max(1, len(datasets[0]))))
+            batch_size=min(64, max(1, len(datasets[0]))),
+            host_resident=host_mode)
         if built is None:
             self.logger.log_message(
                 "Frozen-feature cache: off (estimated size exceeds cap)")
@@ -278,9 +281,9 @@ class VQATrainer:
         cache, (row_train, row_test), secs = built
         self._feature_cache = cache
         self.train_dataloader = CachedFeatureLoader(
-            self.train_dataloader, cache, row_train)
+            self.train_dataloader, cache, row_train, host_mode=host_mode)
         self.test_dataloader = CachedFeatureLoader(
-            self.test_dataloader, cache, row_test)
+            self.test_dataloader, cache, row_test, host_mode=host_mode)
         for c in collates:
             c.emit_images = False       # skip image decode for every epoch
         self.logger.log_message(
