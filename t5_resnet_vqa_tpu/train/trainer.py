@@ -286,9 +286,10 @@ class VQATrainer:
             self.test_dataloader, cache, row_test, host_mode=host_mode)
         for c in collates:
             c.emit_images = False       # skip image decode for every epoch
+        where = "host (mesh run)" if host_mode else "device"
         self.logger.log_message(
             f"Frozen-feature cache: {cache.features.shape[0]} images, "
-            f"{cache.nbytes / 1e6:.0f} MB {cache.features.dtype} on device, "
+            f"{cache.nbytes / 1e6:.0f} MB {cache.features.dtype} on {where}, "
             f"built in {secs:.1f}s; tower + image preprocessing skipped "
             f"for all epochs")
 
