@@ -110,7 +110,12 @@ class TrainerConfig:
     # steps-per-loop: run K optimizer steps per host dispatch (lax.scan over
     # K stacked batches). Amortizes per-dispatch host/runtime latency — the
     # standard TPU training pattern; 1 == reference-like per-step dispatch.
-    steps_per_dispatch: int = 1
+    # Default 4 on measurement: sustained epoch wall 4.85s -> 1.28s at K=8
+    # on a tunneled chip (benchmarks/train_step.md "Sustained trainer
+    # throughput"); identical losses vs K=1 are test-pinned
+    # (tests/test_trainer.py). Tiny runs (<10 batches/epoch) always use
+    # per-step dispatch regardless, matching the reference's logging.
+    steps_per_dispatch: int = 4
     # crash recovery: additionally write checkpoint-model +
     # state_dict_checkpoint every N optimizer steps (0 = epoch-end only,
     # the reference's cadence). A mid-epoch crash then loses at most N
