@@ -546,13 +546,16 @@ class VQATrainer:
                     break
         except KeyboardInterrupt:
             # ref :305-310 — save final model, stop (but don't kill the host)
-            self.callbacks.exit_training(self.params)
+            self.callbacks.exit_training(self.params)     # flushes first
             self.logger.log_line()
             self.logger.log_message(
                 "Exiting Training due to Keyboard Interrupt")
             self.tracker.finish()
             return
 
+        # land all background checkpoint saves before train() returns —
+        # callers (and tests) may read the artifacts immediately
+        self.callbacks.ckpt.flush()
         self.tracker.finish()
 
     def train_one_epoch(self):
