@@ -37,7 +37,7 @@ need attention maps / raw feature pyramids.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
