@@ -136,8 +136,8 @@ class TrainerConfig:
     # Exact math — the tower is gradient-isolated and the collates are
     # deterministic per image — measured -34% step time on the flagship.
     # Auto-disabled when the model fine-tunes vision, exposes no
-    # compute_vision_features, runs under a mesh, or the cache would
-    # exceed ~6GB.
+    # compute_vision_features, or the cache would exceed ~6GB; mesh runs
+    # keep the cache host-resident so gathers ride the sharded batch path.
     cache_frozen_features: bool = True
 
     def validate(self) -> None:

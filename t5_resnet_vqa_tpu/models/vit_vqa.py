@@ -49,6 +49,16 @@ class VitVQAModel(nn.Module):
         """Gradient-isolated top-level modules (see ResnetVQAModel)."""
         return () if self.fine_tune_vision else ("vision_model",)
 
+    def vision_tower_deterministic(self) -> bool:
+        """The feature cache's exactness contract: compute_vision_features
+        runs the tower with deterministic defaults while the in-graph
+        training path runs deterministic=False, so the two agree only when
+        the tower applies no stochastic regularization. The in21k ViT
+        ships dropout 0.0; if a config ever turns it on, the trainer must
+        refuse to cache (train/trainer.py:_setup_feature_cache checks
+        this) rather than silently training on dropout-free features."""
+        return self.vit_config.dropout_rate == 0.0
+
     def compute_vision_features(self, params, pixel_values):
         """Out-of-graph frozen-ViT forward for the feature cache
         (train/feature_cache.py): pooled CLS [B, 768], same math as

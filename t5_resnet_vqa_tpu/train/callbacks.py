@@ -69,21 +69,31 @@ class CheckpointManager:
     def _path(self, name: str) -> str:
         return os.path.join(os.path.abspath(self.output_dir), name)
 
-    def _save_sync(self, name: str, tree: Any) -> None:
+    def _save_sync(self, name: str, tree: Any,
+                   on_complete: Optional[Any] = None) -> None:
         self._ckpt.save(self._path(name), _to_numpy_tree(tree), force=True)
         self._ckpt.wait_until_finished()
+        if on_complete is not None:
+            on_complete()
 
-    def save_tree(self, name: str, tree: Any,
-                  background: bool = False) -> None:
+    def save_tree(self, name: str, tree: Any, background: bool = False,
+                  on_complete: Optional[Any] = None) -> None:
+        """Save ``tree`` under ``name``; run ``on_complete()`` strictly AFTER
+        the checkpoint has landed on disk. Metadata that points at the
+        checkpoint (model_ckpt_info.json, model-metrics.json) must go
+        through ``on_complete`` — writing it eagerly while a background
+        save is in flight leaves a crash window where the metadata (and a
+        resumed best_score) reference a checkpoint that never landed."""
         if not background:
-            self._save_sync(name, tree)
+            self._save_sync(name, tree, on_complete)
             return
         if self._pool is None:
             import concurrent.futures
             self._pool = concurrent.futures.ThreadPoolExecutor(
                 1, thread_name_prefix="ckpt-save")
         snap = _device_snapshot(tree)
-        self._pending.append(self._pool.submit(self._save_sync, name, snap))
+        self._pending.append(
+            self._pool.submit(self._save_sync, name, snap, on_complete))
 
     def flush(self) -> None:
         """Join all pending background saves (exceptions propagate)."""
@@ -127,15 +137,27 @@ class Callbacks:
         return (self.best_score - score) > self.threshold
 
     def save_checkpoint(self, params: Any, epoch: int,
-                        answer_spaces: List[str]) -> None:
+                        answer_spaces: List[str],
+                        on_complete: Optional[Any] = None) -> None:
         self.logger.log_message(
             f"Saving new best-model with F-Score: {self.best_score:.4f}")
-        self.ckpt.save_tree("best-model", params, background=True)
-        self.ckpt.write_json("model_ckpt_info.json", {
+
+        info = {
             "epoch": epoch,
             "best_score": self.best_score,
             "answer_spaces": list(answer_spaces),
-        })
+        }
+
+        def _write_metadata() -> None:
+            # Runs on the checkpoint worker AFTER the Orbax save lands, so
+            # a crash mid-save can never leave metadata pointing at a
+            # best-model that doesn't exist on disk.
+            self.ckpt.write_json("model_ckpt_info.json", info)
+            if on_complete is not None:
+                on_complete()
+
+        self.ckpt.save_tree("best-model", params, background=True,
+                            on_complete=_write_metadata)
 
     def exit_training(self, params: Any) -> None:
         self.ckpt.flush()              # land any in-flight background saves
@@ -172,8 +194,10 @@ class EarlyStopping(Callbacks):
         if self.better_score(score):
             self.best_score = score
             self.num_bad_epoch = 0
-            self.save_checkpoint(params, epoch, answer_spaces)
-            self.ckpt.write_json("model-metrics.json", {"best-score": score})
+            self.save_checkpoint(
+                params, epoch, answer_spaces,
+                on_complete=lambda: self.ckpt.write_json(
+                    "model-metrics.json", {"best-score": score}))
         else:
             self.num_bad_epoch += 1
             self.logger.log_new_line()

@@ -100,9 +100,10 @@ def build_feature_cache(
 
     ``load_images`` must be the training collate's own image pipeline
     (DaquarCollateBase.load_images) so cached features see exactly the
-    pixels the in-graph path would. Returns (cache, row_maps,
-    build_seconds) with one row->slot array per dataset, or None when the
-    estimated cache exceeds ``max_bytes``.
+    pixels the in-graph path would. Returns ((cache, row_maps,
+    build_seconds), None) with one row->slot array per dataset on success,
+    or (None, reason) when the datasets carry no images or the estimated
+    cache exceeds ``max_bytes``.
     """
     import time
 
@@ -110,7 +111,7 @@ def build_feature_cache(
     paths, row_maps = collect_image_slots(datasets)
     n = len(paths)
     if not n:
-        return None
+        return None, "datasets reference no images"
 
     tower = jax.jit(model.compute_vision_features)
 
@@ -129,7 +130,8 @@ def build_feature_cache(
         if feat_bytes is None:
             feat_bytes = (feats.size // batch_size) * feats.dtype.itemsize
             if feat_bytes * n > max_bytes:
-                return None
+                return None, (f"estimated size {feat_bytes * n / 1e9:.1f} GB "
+                              f"exceeds the {max_bytes / 1e9:.0f} GB cap")
         host = np.asarray(feats[:batch_size - pad] if pad else feats)
         chunks.append(host)
     host_features = (np.concatenate(chunks, axis=0) if len(chunks) > 1
@@ -138,7 +140,7 @@ def build_feature_cache(
     features = host_features if host_resident else jax.device_put(
         host_features)
     cache = FrozenFeatureCache(features, {p: i for i, p in enumerate(paths)})
-    return cache, row_maps, time.time() - t0
+    return (cache, row_maps, time.time() - t0), None
 
 
 class CachedFeatureLoader:

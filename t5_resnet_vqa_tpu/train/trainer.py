@@ -295,6 +295,11 @@ class VQATrainer:
             why = f"{type(model).__name__} has no separable frozen tower"
         elif not getattr(model, "frozen_modules", lambda: ())():
             why = "vision tower is fine-tuned"
+        elif not getattr(model, "vision_tower_deterministic",
+                         lambda: True)():
+            # cache exactness requires a dropout-free tower (the cache is
+            # built with deterministic defaults; training runs live)
+            why = "vision tower has stochastic regularization"
         if why is None:
             try:
                 self.train_dataloader.dataset[0].image_path
@@ -313,13 +318,12 @@ class VQATrainer:
         # normal sharded batch path (_put_batch / _put_stacked shard every
         # array leaf over the data axis)
         host_mode = self.mesh is not None
-        built = build_feature_cache(
+        built, reason = build_feature_cache(
             model, self.params, datasets, collates[0].load_images,
             batch_size=min(64, max(1, len(datasets[0]))),
             host_resident=host_mode)
         if built is None:
-            self.logger.log_message(
-                "Frozen-feature cache: off (estimated size exceeds cap)")
+            self.logger.log_message(f"Frozen-feature cache: off ({reason})")
             return
         cache, (row_train, row_test), secs = built
         self._feature_cache = cache
@@ -668,9 +672,12 @@ class VQATrainer:
                 next_log += self.ten_percent_train_batch
                 window_n = window_steps
                 # hand the fetch+log to the worker thread: dispatch never
-                # blocks on a tunnel round trip. The main-thread dt still
-                # tracks device rate — async dispatches throttle on the
-                # runtime's in-flight queue once the pipeline fills.
+                # blocks on a tunnel round trip. The main-thread dt is the
+                # DISPATCH rate, which converges to the device rate only
+                # once the runtime's in-flight queue saturates — the first
+                # window of an epoch (and whole short epochs) can read
+                # faster than the device actually ran. Epoch wall time
+                # (epoch_time) is unaffected.
                 snapshot = window_losses[:]
                 window_losses.clear()
                 window_steps = 0

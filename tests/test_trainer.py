@@ -305,3 +305,58 @@ def test_compute_rouge_hook(synth, tmp_path):
     assert rouge_rows, "rouge metrics missing from tracker"
     for k in ("valid_rouge1_f", "valid_rouge2_f", "valid_rougeL_f"):
         assert 0.0 <= rouge_rows[-1][k] <= 1.0
+
+
+def test_best_model_metadata_lands_after_background_save(tmp_path):
+    """ADVICE r2 (medium): model_ckpt_info.json / model-metrics.json must be
+    written AFTER the background best-model save completes — a crash during
+    the (potentially minutes-long) fetch/write must not leave metadata and
+    a resumable best_score pointing at a checkpoint that never landed."""
+    import threading
+    import time
+
+    from t5_resnet_vqa_tpu.core.logging import Logger
+    from t5_resnet_vqa_tpu.train.callbacks import EarlyStopping
+
+    out = str(tmp_path / "meta_order")
+    es = EarlyStopping(Logger(out), out)
+
+    gate = threading.Event()
+    real_save = es.ckpt._ckpt.save
+
+    def slow_save(path, tree, force=True):
+        gate.wait(timeout=10)           # hold the orbax write open
+        return real_save(path, tree, force=force)
+
+    es.ckpt._ckpt.save = slow_save
+    params = {"w": np.zeros((2, 2), np.float32)}
+    es(params, score=0.5, epoch=1, answer_spaces=["a", "b"])
+
+    ckpt_dir = es.ckpt.output_dir
+    # save is in flight (blocked) -> no metadata yet
+    time.sleep(0.1)
+    assert not os.path.exists(os.path.join(ckpt_dir, "model_ckpt_info.json"))
+    assert not os.path.exists(os.path.join(ckpt_dir, "model-metrics.json"))
+
+    gate.set()
+    es.ckpt.flush()
+    info = json.load(open(os.path.join(ckpt_dir, "model_ckpt_info.json")))
+    assert info["best_score"] == 0.5
+    metrics = json.load(open(os.path.join(ckpt_dir, "model-metrics.json")))
+    assert metrics["best-score"] == 0.5
+    assert os.path.isdir(os.path.join(ckpt_dir, "best-model"))
+
+
+def test_stochastic_vision_tower_refuses_feature_cache():
+    """Cache exactness guard (ADVICE r2): a ViT tower with live dropout must
+    report non-deterministic so _setup_feature_cache refuses to cache."""
+    import dataclasses
+
+    from t5_resnet_vqa_tpu.models.vit import ViTConfig
+    from t5_resnet_vqa_tpu.models.vit_vqa import VitVQAModel
+
+    clean = VitVQAModel(answer_spaces=4)
+    assert clean.vision_tower_deterministic()
+    wet = VitVQAModel(answer_spaces=4, vit_config=dataclasses.replace(
+        ViTConfig.vit_base(), dropout_rate=0.1))
+    assert not wet.vision_tower_deterministic()
