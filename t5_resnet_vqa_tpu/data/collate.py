@@ -49,7 +49,9 @@ class DaquarCollateBase:
         self.answer_spaces = [a.strip("\n") for a in answer_spaces]
         self._answer_index = {a: i for i, a in enumerate(self.answer_spaces)}
         self.eval_mode = eval_mode
-        self.tokenizer = tokenizer or get_tokenizer(lang_model)
+        # answer-space words get collision-free ids in the hash fallback
+        self.tokenizer = tokenizer or get_tokenizer(
+            lang_model, pinned_words=self.answer_spaces)
         self.rng = np.random.default_rng(seed)
         # OOV fallback class (ViT-path reference behavior, :149-153)
         self._oov_index = self._answer_index.get("O", 0)

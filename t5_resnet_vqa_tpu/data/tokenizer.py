@@ -37,15 +37,30 @@ SPECIAL_TOKENS = (
 
 
 class HashTokenizer:
-    """Offline deterministic tokenizer with the HF call surface we use."""
+    """Offline deterministic tokenizer with the HF call surface we use.
+
+    Free-text words hash into [1000, 32000); by birthday statistics a few
+    hundred distinct words already make a collision likely (observed:
+    "vase" and "book" share a bucket), which would silently merge token
+    semantics. Collisions between ANSWER-SPACE words are the dangerous
+    case — they alias label words the classifier must distinguish — so
+    words appearing in ``pinned_words`` (the collates pass their answer
+    space) get collision-free ids from the reserved range [100, 1000),
+    assigned in sorted order. The assignment is deterministic given the
+    same answer space, which is part of the checkpoint contract
+    (model_ckpt_info.json), so train/eval/serving agree across processes.
+    """
 
     pad_token_id = constants.PAD_TOKEN_ID
     eos_token_id = constants.EOS_TOKEN_ID
     unk_token_id = 2
 
     _WORD_RE = re.compile(r"[a-zA-Z0-9']+|[^\sa-zA-Z0-9]")
+    _PINNED_BASE = 100
+    _PINNED_CAP = 1000
 
-    def __init__(self, vocab_size: int = constants.T5_VOCAB_SIZE):
+    def __init__(self, vocab_size: int = constants.T5_VOCAB_SIZE,
+                 pinned_words: Optional[Sequence[str]] = None):
         self.vocab_size = vocab_size
         self.special_to_id = {
             tok: constants.T5_FIRST_EXTRA_ID + i
@@ -54,10 +69,24 @@ class HashTokenizer:
         self.id_to_special = {v: k for k, v in self.special_to_id.items()}
         self._special_re = re.compile(
             "(" + "|".join(re.escape(t) for t in SPECIAL_TOKENS) + ")")
+        self.pinned: dict = {}
+        if pinned_words:
+            words = sorted({w.lower() for entry in pinned_words
+                            for w in self._WORD_RE.findall(entry)})
+            if self._PINNED_BASE + len(words) > self._PINNED_CAP:
+                raise ValueError(
+                    f"{len(words)} pinned words exceed the reserved id range "
+                    f"[{self._PINNED_BASE}, {self._PINNED_CAP})")
+            self.pinned = {w: self._PINNED_BASE + i
+                           for i, w in enumerate(words)}
 
     def _word_id(self, word: str) -> int:
+        word = word.lower()
+        pinned = self.pinned.get(word)
+        if pinned is not None:
+            return pinned
         h = int.from_bytes(
-            hashlib.md5(word.lower().encode()).digest()[:4], "little")
+            hashlib.md5(word.encode()).digest()[:4], "little")
         return 1000 + h % 31000
 
     def _tokenize(self, text: str) -> List[int]:
@@ -163,15 +192,17 @@ class TokenizerFileTokenizer:
 
 
 def get_tokenizer(lang_model: str = "t5-base",
-                  tokenizer_file: Optional[str] = None):
+                  tokenizer_file: Optional[str] = None,
+                  pinned_words: Optional[Sequence[str]] = None):
     """Best available real tokenizer:
 
     1. user-supplied ``tokenizer.json`` (real vocab, works offline),
     2. HF AutoTokenizer when its files are cached locally,
-    3. HashTokenizer (deterministic offline fallback)."""
+    3. HashTokenizer (deterministic offline fallback; ``pinned_words`` —
+       typically the answer space — get collision-free ids)."""
     if tokenizer_file:
         return TokenizerFileTokenizer(tokenizer_file)
     try:
         return HFTokenizer(lang_model)
     except Exception:
-        return HashTokenizer()
+        return HashTokenizer(pinned_words=pinned_words)

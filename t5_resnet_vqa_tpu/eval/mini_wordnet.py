@@ -65,6 +65,12 @@ _STRUCT = _ART + ("structure",)
 _SURFACE = _ART + ("surface",)
 _PAPER = _ART + ("creation", "product", "work")
 _WRITING = _INSTR + ("implement", "writing_implement")
+_TOOL = _INSTR + ("implement", "tool")
+_SUBST = _PHYS + ("matter", "substance")
+_BEV = _SUBST + ("food", "beverage")
+_TIMEPIECE = _INSTR + ("measuring_instrument", "timepiece")
+_RACK = _INSTR + ("support", "framework")
+_SHEETPAPER = _ART + ("sheet", "paper")
 
 # --- vocabulary: word -> one or more hypernym chains ----------------------
 # (chain EXCLUDES the word itself; the full path is prefix + (word,))
@@ -182,13 +188,31 @@ _V: Dict[str, List[Chain]] = {
     "sponge": [_UTENSIL + ("cleaning_implement",)],
     "comb": [_DEV],
     # living / food
-    "plant": [_LIVING + ("plant",)],
+    "plant": [_LIVING],
     "flower": [_PLANT + ("spermatophyte", "angiosperm")],
-    "person": [_LIVING + ("person",)],
+    "flowers": [_PLANT + ("spermatophyte", "angiosperm", "flower")],
+    "plants": [_LIVING + ("plant",)],
+    "tree": [_PLANT + ("woody_plant",)],
+    "person": [_LIVING],
+    "man": [_LIVING + ("person", "adult")],
+    "woman": [_LIVING + ("person", "adult")],
+    "child": [_LIVING + ("person", "juvenile")],
+    "fish": [_LIVING + ("animal", "chordate", "vertebrate",
+                        "aquatic_vertebrate")],
+    "bird": [_LIVING + ("animal", "chordate", "vertebrate")],
     "food": [_FOOD], "bread": [_FOOD + ("baked_goods",)],
     "cake": [_FOOD + ("baked_goods",)],
     "fruit": [_FRUIT[:-2]],
+    "fruits": [_FRUIT[:-1]],
     "apple": [_FRUIT], "banana": [_FRUIT], "orange": [_FRUIT, _CHROM],
+    "lemon": [_FRUIT + ("citrus",)],
+    "vegetable": [_FOOD + ("produce",)],
+    "vegetables": [_FOOD + ("produce", "vegetable")],
+    "tomato": [_FOOD + ("produce", "vegetable")],
+    "egg": [_FOOD], "cereal": [_FOOD], "sugar": [_FOOD], "salt": [_FOOD],
+    "milk": [_BEV], "juice": [_BEV], "coffee": [_BEV], "tea": [_BEV],
+    "wine": [_BEV + ("alcohol",)],
+    "water": [_PHYS + ("matter", "liquid")],
     # colors
     "red": [_CHROM], "blue": [_CHROM], "green": [_CHROM],
     "yellow": [_CHROM], "brown": [_CHROM], "pink": [_CHROM],
@@ -196,7 +220,151 @@ _V: Dict[str, List[Chain]] = {
     "white": [_ACHROM], "black": [_ACHROM], "gray": [_ACHROM],
     "grey": [_ACHROM], "beige": [_CHROM + ("brown",)],
     "tan": [_CHROM + ("brown",)],
+    "silver": [_ACHROM + ("gray",)], "gold": [_CHROM + ("yellow",)],
+    "dark": [_ABST + ("attribute", "state")],
+    # --- round-3 coverage expansion (vendored DAQUAR vocabulary audit,
+    # data/daquar_vocab.py): furniture
+    "headboard": [_FURN + ("bed",)],
+    "crib": [_FURN + ("bed",)],
+    "bunk_bed": [_FURN + ("bed",)],
+    "bookcase": [_FURN],
+    "cupboard": [_FURN + ("cabinet",)],
+    "sideboard": [_FURN + ("cabinet",)],
+    "chest_of_drawers": [_FURN + ("cabinet",)],
+    "file_cabinet": [_FURN + ("cabinet",)],
+    "countertop": [_FURN + ("table", "counter")],
+    "rocking_chair": [_SEAT + ("chair",)],
+    "office_chair": [_SEAT + ("chair",)],
+    "coffee_table": [_FURN + ("table",)],
+    "dining_table": [_FURN + ("table",)],
+    "night_stand": [_FURN + ("table",)],
+    # lighting
+    "candlestick": [_INSTR + ("support", "holder")],
+    "floor_lamp": [_DEV + ("source_of_illumination", "lamp")],
+    "table_lamp": [_DEV + ("source_of_illumination", "lamp")],
+    "desk_lamp": [_DEV + ("source_of_illumination", "lamp")],
+    "night_light": [_DEV + ("source_of_illumination", "lamp")],
+    "lamp_shade": [_COVER + ("shade",)],
+    # appliances / machines
+    "toaster": [_KAPPL], "blender": [_KAPPL],
+    "coffee_machine": [_KAPPL], "coffee_maker": [_KAPPL],
+    "dryer": [_APPL], "iron": [_APPL], "vacuum_cleaner": [_APPL],
+    "air_conditioner": [_APPL],
+    "hair_dryer": [_APPL + ("dryer",)],
+    "ceiling_fan": [_APPL + ("fan",)],
+    "sewing_machine": [_MACH],
+    "stapler": [_MACH],
+    "ironing_board": [_SURFACE + ("board",)],
+    # electronics
+    "scanner": [_ELEC], "stereo": [_ELEC], "game_console": [_ELEC],
+    "headphones": [_ELEC], "modem": [_ELEC], "router": [_ELEC],
+    "dvd_player": [_ELEC], "cd_player": [_ELEC],
+    "screen": [_ELEC + ("display",)],
+    "projector": [_DEV + ("optical_device",)],
+    "camera": [_DEV + ("optical_device",)],
+    "glasses": [_DEV + ("optical_device",)],
+    "sunglasses": [_DEV + ("optical_device", "spectacles")],
+    "light_switch": [_DEV + ("switch",)],
+    "doorknob": [_DEV],
+    "alarm_clock": [_TIMEPIECE + ("clock",)],
+    "wall_clock": [_TIMEPIECE + ("clock",)],
+    "watch": [_TIMEPIECE],
+    # containers / kitchenware
+    "purse": [_CONT + ("case", "bag")],
+    "wallet": [_CONT + ("case",)],
+    "garbage_can": [_CONT + ("bin",)],
+    "waste_basket": [_CONT + ("bin",)],
+    "laundry_basket": [_CONT + ("basket",)],
+    "hamper": [_CONT + ("basket",)],
+    "container": [_INSTR],
+    "folder": [_CONT],
+    "file": [_CONT],
+    "envelope": [_CONT],
+    "jug": [_VESSEL], "pitcher": [_VESSEL],
+    "teapot": [_VESSEL + ("pot",)],
+    "flower_pot": [_VESSEL + ("pot",)],
+    "water_bottle": [_VESSEL + ("bottle",)],
+    "wine_bottle": [_VESSEL + ("bottle",)],
+    "saucer": [_KUTENSIL + ("crockery",)],
+    "soap_dish": [_KUTENSIL + ("crockery", "dish")],
+    "cutting_board": [_SURFACE + ("board",)],
+    "dish_rack": [_RACK + ("rack",)],
+    "towel_rack": [_RACK + ("rack",)],
+    # textiles / coverings / clothing
+    "curtains": [_COVER + ("furnishing_textile", "curtain")],
+    "shower_curtain": [_COVER + ("furnishing_textile", "curtain")],
+    "tablecloth": [_ART + ("fabric", "piece_of_cloth")],
+    "toilet_paper": [_SHEETPAPER],
+    "paper_towel": [_SHEETPAPER],
+    "papers": [_SHEETPAPER],
+    "sheets": [_COVER + ("bedclothes", "sheet")],
+    "bedsheets": [_COVER + ("bedclothes", "sheet")],
+    "bath_mat": [_COVER + ("floor_cover", "mat")],
+    "doormat": [_COVER + ("floor_cover", "mat")],
+    "clothing": [_COVER],
+    "pants": [_CLOTH + ("garment",)],
+    "scarf": [_CLOTH + ("garment",)],
+    "tie": [_CLOTH + ("garment",)],
+    "apron": [_CLOTH + ("garment",)],
+    "belt": [_CLOTH],
+    "slippers": [_CLOTH + ("footwear", "shoe")],
+    "sock": [_CLOTH + ("footwear",)],
+    "socks": [_CLOTH + ("footwear", "sock")],
+    "cloth": [_ART + ("fabric",)],
+    "fabric": [_ART],
+    # structure / fixtures
+    "windowsill": [_SURFACE + ("horizontal_surface",)],
+    "stairs": [_INSTR + ("stairway",)],
+    "railing": [_STRUCT + ("obstruction", "barrier")],
+    "banister": [_STRUCT + ("obstruction", "barrier", "railing")],
+    "shower": [_INSTR + ("furnishing", "plumbing_fixture")],
+    "pipe": [_INSTR + ("conduit",)],
+    "vent": [_STRUCT + ("opening",)],
+    "fireplace": [_STRUCT],
+    "mantle": [_STRUCT + ("fireplace",)],
+    "column": [_STRUCT + ("structural_member",)],
+    "beam": [_STRUCT + ("structural_member",)],
+    "partition": [_STRUCT],
+    "tile": [_ART],
+    "tiles": [_ART + ("tile",)],
+    "bulletin_board": [_SURFACE + ("board",)],
+    "corkboard": [_SURFACE + ("board",)],
+    # paper / media
+    "magazine": [_PAPER + ("publication",)],
+    "newspaper": [_PAPER + ("publication",)],
+    "marker": [_WRITING],
+    "card": [_SHEETPAPER],
+    "cards": [_SHEETPAPER + ("card",)],
+    "sticker": [_SHEETPAPER],
+    "document": [_PAPER],
+    "letter": [_PAPER],
+    # decorations / misc
+    "toys": [_ART + ("plaything", "toy")],
+    "stuffed_animal": [_ART + ("plaything", "doll")],
+    "basket_ball": [_ART + ("plaything", "ball")],
+    "football": [_ART + ("plaything", "ball")],
+    "video_game": [_ART + ("plaything",)],
+    "drum": [_DEV + ("musical_instrument", "percussion_instrument")],
+    "shampoo": [_SUBST + ("cleansing_agent",)],
+    "toothpaste": [_SUBST + ("cleansing_agent",)],
+    "perfume": [_SUBST + ("toiletry",)],
+    "lotion": [_SUBST + ("toiletry",)],
+    "medicine": [_SUBST],
+    "glue": [_SUBST],
+    "scissors": [_TOOL],
+    "tape": [_ART],
+    "key": [_DEV], "keys": [_DEV + ("key",)],
+    "jewelry": [_DECOR + ("adornment",)],
+    "globe": [_PAPER + ("representation",)],
+    "statue": [_PAPER + ("representation",)],
+    "figurine": [_PAPER + ("representation", "statue")],
+    "trophy": [_DECOR],
 }
+
+# Words the WUPS metric sees that have NO noun synsets in WordNet 3.0 —
+# the reference scores them 0.0 (wup_measure.py:42-43: empty synsets), so
+# the faithful behavior here is OOV-scores-0, NOT a vendored chain.
+NO_NOUN_SYNSET = frozenset({"transparent", "colorful", "bright"})
 
 # materialize full paths: every chain above excludes the word itself
 _FULL: Dict[str, List[Chain]] = {
@@ -206,7 +374,7 @@ _FULL: Dict[str, List[Chain]] = {
 # numbers: digit and spelled forms are lemmas of the SAME synset (WordNet
 # lists "2" as a lemma of two.n.01), so "2" vs "two" scores 1.0
 _NUMBER_WORDS = ["zero", "one", "two", "three", "four", "five", "six",
-                 "seven", "eight", "nine", "ten"]
+                 "seven", "eight", "nine", "ten", "eleven", "twelve"]
 for _i, _w in enumerate(_NUMBER_WORDS):
     _FULL[_w] = [_NUM + (_w,)]
     _FULL[str(_i)] = [_NUM + (_w,)]

@@ -57,12 +57,30 @@ class _NativePreproc:
         return out
 
 
+def _try_build() -> bool:
+    """Build libvqapreproc.so from the in-tree source with the system
+    toolchain (one ~2s g++ invocation). Source ships with the package, so
+    first use self-builds instead of requiring a manual make step; any
+    failure (no compiler, read-only install) falls back to cv2 silently."""
+    src = os.path.join(os.path.dirname(__file__), "preproc.cpp")
+    if not os.path.exists(src):
+        return False
+    import subprocess
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.dirname(__file__), "libvqapreproc.so"],
+            check=True, capture_output=True, timeout=120)
+    except Exception:
+        return False
+    return os.path.exists(_LIB_PATH)
+
+
 def get_lib() -> Optional[_NativePreproc]:
     global _cached, _failed
     with _lock:
         if _cached is not None or _failed:
             return _cached
-        if not os.path.exists(_LIB_PATH):
+        if not os.path.exists(_LIB_PATH) and not _try_build():
             _failed = True
             return None
         try:
