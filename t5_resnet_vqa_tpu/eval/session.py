@@ -94,7 +94,8 @@ class VQAInferenceSession:
                    image_size=config.dataset.image_size,
                    interpolation_strategy=config.dataset.interpolation_strategy,
                    lang_model=config.dataset.language_model_tokenizer,
-                   tokenizer=tokenizer)
+                   tokenizer=tokenizer,
+                   uint8_wire=config.dataset.uint8_wire_images)
 
     def ask(self, image: str, question: str, top_k: int = 1) -> dict:
         """Single-request convenience wrapper (pads to the compiled batch)."""
