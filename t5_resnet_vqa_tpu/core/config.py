@@ -125,6 +125,12 @@ class TrainerConfig:
     # implements compute_rouge_metric but never calls it live, ref :489-513;
     # here the hook is wired behind this flag)
     compute_rouge: bool = False
+    # experiment tracking: metrics always stream to <output_dir>/metrics.jsonl;
+    # with use_wandb=True AND the wandb package importable, the same records
+    # also drive wandb.init/log/finish (the reference's tracking surface,
+    # faster_rcnn_vqa_trainer.py:34-43). Offline-by-default divergence stays.
+    use_wandb: bool = False
+    wandb_project: str = "t5-resnet-vqa-tpu"
     # dropout mask RNG: True uses JAX's "rbg" PRNG (TPU hardware RNG) for
     # the dropout key stream on TPU — measured ~7ms/step cheaper than
     # threefry at B=128 on v5e. Mask *bits* differ from threefry but the

@@ -121,6 +121,26 @@ class HashTokenizer:
     def decode_specials(self, ids: Sequence[int]) -> List[str]:
         return [self.id_to_special.get(int(i), f"<{int(i)}>") for i in ids]
 
+    def decode(self, ids: Sequence[int],
+               skip_special_tokens: bool = True) -> str:
+        """Hashed word ids are not invertible; generated tokens surface as
+        ``<id>`` placeholders (special tokens decode by name). Real text
+        decoding needs the tokenizer.json / HF path."""
+        parts = []
+        for i in ids:
+            i = int(i)
+            if i in (self.pad_token_id, self.eos_token_id):
+                if not skip_special_tokens:
+                    parts.append("</s>" if i == self.eos_token_id else "<pad>")
+                continue
+            sp = self.id_to_special.get(i)
+            if sp is not None:
+                if not skip_special_tokens:
+                    parts.append(sp)
+                continue
+            parts.append(f"<{i}>")
+        return " ".join(parts)
+
 
 class HFTokenizer:
     """HF AutoTokenizer adapter with the reference's special-token setup."""
@@ -150,6 +170,11 @@ class HFTokenizer:
                        truncation=truncation, max_length=max_length)
         return (out["input_ids"].astype(np.int32),
                 out["attention_mask"].astype(np.int32))
+
+    def decode(self, ids: Sequence[int],
+               skip_special_tokens: bool = True) -> str:
+        return self.tok.decode([int(i) for i in ids],
+                               skip_special_tokens=skip_special_tokens)
 
 
 class TokenizerFileTokenizer:
@@ -189,6 +214,11 @@ class TokenizerFileTokenizer:
         ids = np.asarray([e.ids for e in encs], np.int32)
         mask = np.asarray([e.attention_mask for e in encs], np.int32)
         return ids, mask
+
+    def decode(self, ids: Sequence[int],
+               skip_special_tokens: bool = True) -> str:
+        return self.tok.decode([int(i) for i in ids],
+                               skip_special_tokens=skip_special_tokens)
 
 
 def get_tokenizer(lang_model: str = "t5-base",

@@ -61,8 +61,11 @@ class VQAInferenceSession:
                                        deterministic=True)
             return log_probs
 
+        self._model = model
+        self._family = family
         self._params = params
         self._predict = jax.jit(predict)
+        self._generate_cache = {}    # (num_beams, max_len) -> jitted fn
 
     # ------------------------------------------------------------------ api
 
@@ -119,10 +122,96 @@ class VQAInferenceSession:
             out.extend(self._decode(np.asarray(log_probs_dev)[:n], top_k))
         return out
 
+    def generate(self, image: str, question: str, num_beams: int = 1,
+                 max_answer_length: int = 5) -> dict:
+        """Single-request generative answer (ViT enc-dec family)."""
+        return self.generate_batch([(image, question)], num_beams=num_beams,
+                                   max_answer_length=max_answer_length)[0]
+
+    def generate_batch(self, requests: Sequence[Tuple[str, str]],
+                       num_beams: int = 1,
+                       max_answer_length: int = 5) -> List[dict]:
+        """Autoregressive answer generation through the serving surface —
+        the working completion of the reference's declared-but-dead beam
+        path (vit_vqa_model.py:294-341, enums.py NUM_BEAMS). ViT enc-dec
+        family only (models/generation.py greedy/beam over the T5 vocab,
+        continuing the collate's "[Question] {q} [Answer]" prompt).
+
+        Returns per-request ``{"answer_text", "token_ids"}`` (+ "score" for
+        beam search). Text decoding uses the session tokenizer; with the
+        offline hash fallback the ids are not invertible, so tokens surface
+        as ``<id>`` placeholders — supply dataset_kwargs.tokenizer_file for
+        real text. Same pipelining as ask_batch: every chunk dispatches
+        before any fetch."""
+        from ..train.factory import VIT_FAMILY  # avoid import cycle
+
+        if self._family != VIT_FAMILY:
+            raise ValueError(
+                f"generate_batch needs the ViT enc-dec family (T5 decoder); "
+                f"this session serves a {self._family!r} model — use "
+                f"ask/ask_batch for classification answers")
+        gen = self._generate_fn(num_beams, max_answer_length)
+
+        pending = []
+        for start in range(0, len(requests), self.batch_size):
+            chunk = requests[start:start + self.batch_size]
+            batch = self._collate_chunk(chunk)
+            pending.append((gen(self._params, batch), len(chunk)))
+        out: List[dict] = []
+        for result, n in pending:
+            if num_beams > 1:
+                tokens, scores = result
+                tokens = np.asarray(tokens)[:n]
+                scores = np.asarray(scores)[:n]
+            else:
+                tokens = np.asarray(result)[:n]
+                scores = [None] * n
+            for i in range(n):
+                ids = [int(t) for t in tokens[i] if int(t) != 0]
+                rec = {"answer_text": self.collate.tokenizer.decode(ids),
+                       "token_ids": ids}
+                if scores[i] is not None:
+                    rec["score"] = float(scores[i])
+                out.append(rec)
+        return out
+
     # ------------------------------------------------------------- internals
 
-    def _dispatch_chunk(self, chunk: Sequence[Tuple[str, str]]):
-        """Collate, pad to the compiled batch, dispatch; no host sync."""
+    def _generate_fn(self, num_beams: int, max_answer_length: int):
+        key = (int(num_beams), int(max_answer_length))
+        fn = self._generate_cache.get(key)
+        if fn is not None:
+            return fn
+        from ..models import generation as G
+
+        model = self._model
+        if num_beams > 1:
+            def gen(p, batch):
+                return G.beam_generate(
+                    model, {"params": p},
+                    batch["question_input_ids"],
+                    batch["question_attention_masks"],
+                    batch["decoder_question_input_ids"],
+                    batch["decoder_question_attention_masks"],
+                    batch["pixel_values"],
+                    max_answer_length=max_answer_length,
+                    num_beams=num_beams)
+        else:
+            def gen(p, batch):
+                return G.greedy_generate(
+                    model, {"params": p},
+                    batch["question_input_ids"],
+                    batch["question_attention_masks"],
+                    batch["decoder_question_input_ids"],
+                    batch["decoder_question_attention_masks"],
+                    batch["pixel_values"],
+                    max_answer_length=max_answer_length)
+        fn = jax.jit(gen)
+        self._generate_cache[key] = fn
+        return fn
+
+    def _collate_chunk(self, chunk: Sequence[Tuple[str, str]]):
+        """Collate + pad a request chunk to the compiled batch shape."""
         dummy = [self.answer_spaces[0]]
         samples = [
             Sample(Question(q, f"req_{i}", f"req_{i}"),
@@ -137,7 +226,11 @@ class VQAInferenceSession:
             batch = {k: np.concatenate(
                 [v, np.repeat(v[:1], self.batch_size - n, axis=0)])
                 for k, v in batch.items()}
-        return self._predict(self._params, batch)
+        return batch
+
+    def _dispatch_chunk(self, chunk: Sequence[Tuple[str, str]]):
+        """Collate, pad to the compiled batch, dispatch; no host sync."""
+        return self._predict(self._params, self._collate_chunk(chunk))
 
     def _decode(self, log_probs: np.ndarray, top_k: int) -> List[dict]:
         order = np.argsort(-log_probs, axis=-1)[:, :top_k]

@@ -163,8 +163,8 @@ class VQATrainer:
 
         self.logger = Logger(self.output_dir)
         self.tracker = ExperimentTracker(
-            self.output_dir, project="t5-resnet-vqa-tpu",
-            config=config.to_dict())
+            self.output_dir, project=tk.wandb_project,
+            config=config.to_dict(), use_wandb=tk.use_wandb)
 
         self.logger.log_message(
             f"WUPS metric mode: {wups_mode()}")

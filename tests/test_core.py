@@ -140,3 +140,41 @@ def test_select_device_tpu_fails_loudly_without_tpu(monkeypatch):
     monkeypatch.setattr(jax, "devices", lambda *a, **k: [_Fake()])
     with _pytest.raises(RuntimeError, match="no TPU devices"):
         select_device("tpu")
+
+
+def test_experiment_tracker_drives_wandb_when_available(tmp_path, monkeypatch):
+    """trainer_kwargs.use_wandb: the JSONL tracker also mirrors init/log/
+    finish to a wandb module when one is importable (reference tracking
+    surface, faster_rcnn_vqa_trainer.py:34-43); keys match the JSONL."""
+    import json
+    import sys
+    import types
+
+    from t5_resnet_vqa_tpu.core.logging import ExperimentTracker
+
+    calls = {"init": [], "log": [], "finish": 0}
+    fake = types.ModuleType("wandb")
+    fake.init = lambda **kw: calls["init"].append(kw)
+    fake.log = lambda m: calls["log"].append(dict(m))
+    fake.finish = lambda: calls.__setitem__("finish", calls["finish"] + 1)
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    tr = ExperimentTracker(str(tmp_path), project="proj-x",
+                           config={"a": 1}, use_wandb=True)
+    tr.log({"train_avg_loss": 1.5, "epoch": 0})
+    tr.finish()
+
+    assert calls["init"][0]["project"] == "proj-x"
+    assert calls["init"][0]["config"] == {"a": 1}
+    assert calls["log"] == [{"train_avg_loss": 1.5, "epoch": 0}]
+    assert calls["finish"] == 1
+    rows = [json.loads(l) for l in open(tr.path)]
+    logged = [r for r in rows if r.get("_event") == "log"][0]
+    assert logged["train_avg_loss"] == 1.5      # same keys as wandb
+
+
+def test_config_wandb_knobs_default_off():
+    from t5_resnet_vqa_tpu.core import Config
+    cfg = Config()
+    assert cfg.trainer.use_wandb is False
+    assert cfg.trainer.wandb_project == "t5-resnet-vqa-tpu"

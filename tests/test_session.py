@@ -118,3 +118,70 @@ def test_session_vit_family(tmp_path):
     img = os.path.join(images_dir, sorted(os.listdir(images_dir))[0])
     res = session.ask(img, "what is here?", top_k=2)
     assert res["answer"] in answers and len(res["top_answers"]) == 2
+
+
+def test_session_generation_vit_family(tmp_path):
+    """Serving-surface generation (VERDICT r2 #7): greedy + beam answers
+    through the session for the ViT enc-dec family, pipelined/chunked like
+    ask_batch; non-enc-dec families refuse with a clear error."""
+    import os
+    from t5_resnet_vqa_tpu.data import make_synthetic_daquar
+    from t5_resnet_vqa_tpu.models.t5 import T5Config
+    from t5_resnet_vqa_tpu.models.vit import ViTConfig
+    from t5_resnet_vqa_tpu.models.vit_vqa import VitVQAModel
+
+    root, kw = make_synthetic_daquar(str(tmp_path / "d"), num_train=2,
+                                     num_test=2, image_size=64)
+    answers = [a.strip("\n") for a in
+               open(os.path.join(root, kw["answer_spaces_file"]))]
+    model = VitVQAModel(
+        answer_spaces=len(answers),
+        vit_config=ViTConfig(hidden_size=32, num_layers=1, num_heads=4,
+                             mlp_dim=64, patch_size=32, image_size=224),
+        t5_config=T5Config(vocab_size=32128, d_model=32, d_kv=8, d_ff=64,
+                           num_layers=1, num_decoder_layers=1, num_heads=4))
+    rng = np.random.default_rng(0)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        question_input_ids=np.zeros((1, 16), np.int32),
+        question_attention_masks=np.ones((1, 16), np.int32),
+        decoder_question_input_ids=np.zeros((1, 20), np.int32),
+        decoder_question_attention_masks=np.ones((1, 20), np.int32),
+        pixel_values=rng.random((1, 224, 224, 3)).astype(np.float32),
+    )["params"]
+    session = VQAInferenceSession(model, params, answers, "vit",
+                                  batch_size=2)
+    images_dir = os.path.join(root, kw["images_dir"])
+    imgs = [os.path.join(images_dir, f)
+            for f in sorted(os.listdir(images_dir))]
+
+    # greedy: 3 requests -> 2 chunks at batch_size 2 (pad + pipeline path)
+    reqs = [(imgs[i % len(imgs)], f"what is here {i}?") for i in range(3)]
+    greedy = session.generate_batch(reqs, max_answer_length=4)
+    assert len(greedy) == 3
+    for rec in greedy:
+        assert isinstance(rec["answer_text"], str)
+        assert all(isinstance(t, int) for t in rec["token_ids"])
+        assert len(rec["token_ids"]) <= 4
+        assert "score" not in rec
+
+    # determinism across calls (jit cache reused)
+    again = session.generate(reqs[0][0], reqs[0][1], max_answer_length=4)
+    assert again["token_ids"] == greedy[0]["token_ids"]
+
+    # beam returns scores; beam@1 == greedy tokens
+    beam1 = session.generate_batch(reqs[:2], num_beams=1,
+                                   max_answer_length=4)
+    assert [b["token_ids"] for b in beam1] == \
+        [g["token_ids"] for g in greedy[:2]]
+    beam3 = session.generate_batch(reqs[:2], num_beams=3,
+                                   max_answer_length=4)
+    for rec in beam3:
+        assert isinstance(rec["score"], float)
+
+
+
+def test_session_generation_refuses_cnn_family(tiny_session):
+    session, _, image_paths = tiny_session
+    with pytest.raises(ValueError, match="ViT enc-dec"):
+        session.generate(image_paths[0], "what?")
