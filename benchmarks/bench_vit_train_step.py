@@ -7,7 +7,9 @@ dropout). The frozen tower is 87% of the family's forward
 should dominate here. Same anti-hoisting discipline as
 bench_train_step.py (vision inputs perturbed per iteration).
 
-Usage: python benchmarks/bench_vit_train_step.py [batch ...]
+Usage: python benchmarks/bench_vit_train_step.py [batch ...] [qN] [dN]
+(qN/dN override the question/decoder token lengths — measures the
+adaptive_question_len trim, e.g. `64 q10 d12`)
 """
 
 import json
@@ -26,7 +28,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_batch(B):
+def bench_batch(B, qlen=16, dlen=20):
     import jax
     import jax.numpy as jnp
     import optax
@@ -38,11 +40,11 @@ def bench_batch(B):
     rng = np.random.default_rng(0)
     batch = dict(
         question_input_ids=jnp.asarray(
-            rng.integers(2, 32100, size=(B, 16)), jnp.int32),
-        question_attention_masks=jnp.ones((B, 16), jnp.int32),
+            rng.integers(2, 32100, size=(B, qlen)), jnp.int32),
+        question_attention_masks=jnp.ones((B, qlen), jnp.int32),
         decoder_question_input_ids=jnp.asarray(
-            rng.integers(2, 32100, size=(B, 20)), jnp.int32),
-        decoder_question_attention_masks=jnp.ones((B, 20), jnp.int32),
+            rng.integers(2, 32100, size=(B, dlen)), jnp.int32),
+        decoder_question_attention_masks=jnp.ones((B, dlen), jnp.int32),
         pixel_values=jnp.asarray(rng.random((B, 224, 224, 3)), jnp.float32),
         annotation_ids=jnp.asarray(rng.integers(0, 170, size=(B,)), jnp.int32),
     )
@@ -109,11 +111,21 @@ def main():
     t0 = time.time()
     _ = float(jax.numpy.ones(()).sum())
     log(f"tunnel warmup: {time.time() - t0:.1f}s")
-    batches = [int(a) for a in sys.argv[1:]] or [64, 128]
+    qlen, dlen = 16, 20
+    batches = []
+    for a in sys.argv[1:]:
+        if a.startswith("q"):
+            qlen = int(a[1:])
+        elif a.startswith("d"):
+            dlen = int(a[1:])
+        else:
+            batches.append(int(a))
+    batches = batches or [64, 128]
     for b in batches:
-        dt, dt_c = bench_batch(b)
+        dt, dt_c = bench_batch(b, qlen, dlen)
         print(json.dumps({
             "metric": "vit_train_step", "batch": b,
+            "qlen": qlen, "dlen": dlen,
             "ms_per_step": round(dt * 1e3, 2),
             "pairs_per_sec": round(b / dt, 1),
             "cached_ms_per_step": round(dt_c * 1e3, 2),

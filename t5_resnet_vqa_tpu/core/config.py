@@ -75,6 +75,17 @@ class DatasetConfig:
     # ship uint8 images over host->device and fuse the /255 (+normalize)
     # into the model's first device op: 4x less H2D traffic, identical math
     uint8_wire_images: bool = True
+    # shrink the static question/decoder tokenization lengths to the
+    # dataset's true max token count (capped at the reference's 16/20).
+    # Applied ONLY where trailing pad columns provably cannot reach the
+    # output — the ViT family (token-0 read + causal last-non-pad read);
+    # the CNN/cross families consume pad rows unmasked (reference SGA /
+    # RoBERTa-layer calls pass no masks), so their pad compute is
+    # load-bearing semantics and stays. Pad compute is ~39% of T5-encoder
+    # fwd+bwd when questions fit in half the buffer
+    # (benchmarks/bench_t5_encoder.py). Train-time only; eval CLIs/serving
+    # keep the fixed reference lengths.
+    adaptive_question_len: bool = True
 
     def validate(self) -> None:
         from . import constants

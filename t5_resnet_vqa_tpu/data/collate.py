@@ -52,6 +52,14 @@ class DaquarCollateBase:
         # answer-space words get collision-free ids in the hash fallback
         self.tokenizer = tokenizer or get_tokenizer(
             lang_model, pinned_words=self.answer_spaces)
+        # static tokenization lengths. The trainer may LOWER these to the
+        # dataset's true max token count (adaptive_question_len): trailing
+        # all-pad columns are masked out of every attention/pool op, so
+        # trimming them is exact math — it only shrinks the compiled
+        # shapes (~39% of encoder fwd+bwd time at S=16 is pad compute when
+        # real questions fit in 8 tokens; benchmarks/bench_t5_encoder.py)
+        self.question_max_len = constants.QUESTION_MAX_LEN
+        self.decoder_max_len = constants.MAX_LEN
         self.rng = np.random.default_rng(seed)
         # OOV fallback class (ViT-path reference behavior, :149-153)
         self._oov_index = self._answer_index.get("O", 0)
@@ -80,8 +88,8 @@ class DaquarCollateBase:
         d_texts = [f"{constants.QUESTION_SPECIAL_TOKEN} "
                    f"{s.question.question_text} "
                    f"{constants.ANSWER_SPECIAL_TOKEN}" for s in samples]
-        q_ids, q_mask = self.tokenizer(q_texts, constants.QUESTION_MAX_LEN)
-        d_ids, d_mask = self.tokenizer(d_texts, constants.MAX_LEN)
+        q_ids, q_mask = self.tokenizer(q_texts, self.question_max_len)
+        d_ids, d_mask = self.tokenizer(d_texts, self.decoder_max_len)
         a_ids, a_mask = self.tokenizer(chosen, constants.MAX_LEN)
         return q_ids, q_mask, d_ids, d_mask, a_ids, a_mask
 

@@ -49,6 +49,13 @@ class T5Config:
     relative_attention_max_distance: int = 128
     dropout_rate: float = 0.1
     layer_norm_epsilon: float = 1e-6
+    # Run q/k/v (self-attn) and k/v (cross-attn) as ONE matmul against the
+    # apply-time concatenation of the per-head kernels. Param tree and math
+    # are unchanged (checkpoints interchangeable; grads flow through the
+    # concat back to the separate kernels); the fusion triples the matmul's
+    # N dim, better amortizing MXU weight loads at the encoder's small
+    # M = B*16. Measured on the chip before defaulting (bench_t5_encoder.py).
+    fused_qkv: bool = False
 
     @classmethod
     def t5_base(cls) -> "T5Config":
@@ -151,9 +158,35 @@ class T5Attention(nn.Module):
         def heads(proj, x):
             return proj(x).reshape(B, -1, cfg.num_heads, cfg.d_kv).transpose(0, 2, 1, 3)
 
-        qh = heads(self.q, hidden_states)
-        kh = heads(self.k, kv)
-        vh = heads(self.v, kv)
+        def split_heads(y):
+            return y.reshape(B, -1, cfg.num_heads, cfg.d_kv).transpose(0, 2, 1, 3)
+
+        inner = cfg.num_heads * cfg.d_kv
+        if cfg.fused_qkv and not self.is_initializing():
+            # one matmul against concat(Wq,Wk,Wv) (or concat(Wk,Wv) for
+            # cross-attention); same math/params as the separate path —
+            # self.variables reads the very kernels self.q/.k/.v declared
+            kp = self.variables["params"]
+            if key_value_states is None:
+                w = jnp.concatenate(
+                    [kp["q"]["kernel"], kp["k"]["kernel"], kp["v"]["kernel"]],
+                    axis=1).astype(self.dtype)
+                qkv = hidden_states @ w
+                qh = split_heads(qkv[..., :inner])
+                kh = split_heads(qkv[..., inner:2 * inner])
+                vh = split_heads(qkv[..., 2 * inner:])
+            else:
+                qh = heads(self.q, hidden_states)
+                w = jnp.concatenate(
+                    [kp["k"]["kernel"], kp["v"]["kernel"]],
+                    axis=1).astype(self.dtype)
+                kvp = kv @ w
+                kh = split_heads(kvp[..., :inner])
+                vh = split_heads(kvp[..., inner:])
+        else:
+            qh = heads(self.q, hidden_states)
+            kh = heads(self.k, kv)
+            vh = heads(self.v, kv)
 
         # No 1/sqrt(d) — T5 semantics.
         scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,

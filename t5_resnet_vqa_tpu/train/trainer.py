@@ -53,7 +53,7 @@ from ..eval.wups import average_wups, wup_measure, wups_mode
 from ..parallel import sharding as shd
 from ..utils import convert_time_to_readable_format
 from .callbacks import EarlyStopping
-from .factory import CNN_FAMILY, build_model, model_family
+from .factory import CNN_FAMILY, VIT_FAMILY, build_model, model_family
 from .optimizer import build_optimizer
 
 _EVAL_ONLY_KEYS = ("answers", "questions", "image_fns")
@@ -266,6 +266,18 @@ class VQATrainer:
                 use_native=dk.use_native_preprocessor,
                 emit_uint8=dk.uint8_wire_images)
 
+        if dk.adaptive_question_len and self.family == VIT_FAMILY:
+            # ViT family ONLY: its text path reads token-0 (pads are masked
+            # KEYS in T5 attention) and the last-non-pad decoder position
+            # (causal), so trailing pad columns provably cannot reach the
+            # output. The CNN family's SGA and the cross family's RoBERTa
+            # layers consume pad rows UNMASKED (reference
+            # multi_head_vision_text_attn.py:145-158 passes masks=None;
+            # vit_vqa_model.py:99-110) — there the pad compute is
+            # load-bearing reference semantics and must stay.
+            self._fit_token_lengths(train_dataset, test_dataset,
+                                    [train_collate, test_collate])
+
         self.train_dataloader = DataLoader(
             train_dataset, train_collate, dk.train_batch_size, shuffle=True,
             seed=seed, drop_remainder=dk.drop_remainder)
@@ -279,6 +291,39 @@ class VQATrainer:
         self.ten_percent_train_batch = max(
             1, int(self.total_train_batch
                    * self.config.trainer.log_every_fraction))
+
+    def _fit_token_lengths(self, train_dataset, test_dataset, collates):
+        """dataset_kwargs.adaptive_question_len: measure the true max token
+        count of every question (train + test) under the active tokenizer
+        and shrink the collates' static lengths to it (still capped at the
+        reference's 16/20). Trailing all-pad columns are masked from every
+        attention/pool op, so the trimmed program computes exactly the same
+        numbers on ~40% fewer encoder FLOPs when questions are short
+        (benchmarks/bench_t5_encoder.py: 13.6 -> 8.3 ms fwd+bwd at S=8)."""
+        from ..core import constants
+
+        tokenizer = collates[0].tokenizer
+        q_max, d_max = 1, 1
+        for ds in (train_dataset, test_dataset):
+            texts = [ds[i].question.question_text for i in range(len(ds))]
+            for start in range(0, len(texts), 512):
+                chunk = texts[start:start + 512]
+                q = [f"{constants.QUESTION_SPECIAL_TOKEN} {t}" for t in chunk]
+                d = [f"{constants.QUESTION_SPECIAL_TOKEN} {t} "
+                     f"{constants.ANSWER_SPECIAL_TOKEN}" for t in chunk]
+                _, qm = tokenizer(q, constants.QUESTION_MAX_LEN)
+                _, dm = tokenizer(d, constants.MAX_LEN)
+                q_max = max(q_max, int(qm.sum(axis=1).max()))
+                d_max = max(d_max, int(dm.sum(axis=1).max()))
+        for c in collates:
+            c.question_max_len = q_max
+            c.decoder_max_len = d_max
+        if (q_max, d_max) != (constants.QUESTION_MAX_LEN, constants.MAX_LEN):
+            self.logger.log_message(
+                f"Adaptive token lengths: question {q_max} (cap "
+                f"{constants.QUESTION_MAX_LEN}), decoder {d_max} (cap "
+                f"{constants.MAX_LEN}) — trailing pad columns trimmed from "
+                f"the compiled shapes (exact math, masked everywhere)")
 
     def _sample_batch(self):
         for batch in self.train_dataloader:

@@ -169,3 +169,51 @@ def test_relative_position_bucket_matches_hf():
         got = np.asarray(relative_position_bucket(
             jnp.asarray(rel.numpy()), bidirectional, 32, 128))
         np.testing.assert_array_equal(got, want)
+
+
+def test_fused_qkv_bit_parity():
+    """T5Config.fused_qkv: one concat-kernel matmul must reproduce the
+    separate q/k/v path exactly (same params, same math) for both the
+    encoder self-attention and the decoder cross-attention, including
+    gradients back through the concat."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from t5_resnet_vqa_tpu.models.t5 import T5Config, T5Decoder, T5Encoder
+
+    cfg = T5Config.tiny()
+    cfg_f = dataclasses.replace(cfg, fused_qkv=True)
+    rng = np.random.default_rng(3)
+    B, S = 2, 9
+    ids = jnp.asarray(rng.integers(2, cfg.vocab_size, (B, S)), jnp.int32)
+    mask = jnp.asarray([[1] * S, [1] * 5 + [0] * (S - 5)], jnp.int32)
+
+    enc = T5Encoder(cfg)
+    enc_f = T5Encoder(cfg_f)
+    p = enc.init(jax.random.PRNGKey(0), ids, mask)
+    out = enc.apply(p, ids, mask)
+    out_f = enc_f.apply(p, ids, mask)          # same params, fused compute
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_f))
+
+    g = jax.grad(lambda pp: jnp.sum(enc.apply(pp, ids, mask) ** 2))(p)
+    g_f = jax.grad(lambda pp: jnp.sum(enc_f.apply(pp, ids, mask) ** 2))(p)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g),
+            jax.tree_util.tree_leaves_with_path(g_f)):
+        assert ka == kb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+    # decoder: self-attn fused qkv + cross-attn fused kv
+    dec = T5Decoder(cfg)
+    dec_f = T5Decoder(cfg_f)
+    d_ids = jnp.asarray(rng.integers(2, cfg.vocab_size, (B, 4)), jnp.int32)
+    d_mask = jnp.ones((B, 4), jnp.int32)
+    mem = jnp.asarray(rng.standard_normal((B, S, cfg.d_model)), jnp.float32)
+    pd = dec.init(jax.random.PRNGKey(1), d_ids, mem, d_mask, mask)
+    o1 = dec.apply(pd, d_ids, mem, d_mask, mask)
+    o2 = dec_f.apply(pd, d_ids, mem, d_mask, mask)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))

@@ -360,3 +360,66 @@ def test_stochastic_vision_tower_refuses_feature_cache():
     wet = VitVQAModel(answer_spaces=4, vit_config=dataclasses.replace(
         ViTConfig.vit_base(), dropout_rate=0.1))
     assert not wet.vision_tower_deterministic()
+
+
+def test_adaptive_question_len_exact(synth, tmp_path):
+    """dataset_kwargs.adaptive_question_len trims trailing all-pad columns
+    from the ViT family's static shapes; with dropout off (so mask shapes
+    can't change the random stream) the per-epoch train/valid losses must
+    be IDENTICAL to the fixed-16/20 run — token-0 reads masked keys and
+    the decoder read is causal, so the trim is exact math. The CNN family
+    must NOT trim (its SGA consumes pad rows unmasked — reference
+    semantics)."""
+    import numpy as np
+
+    from t5_resnet_vqa_tpu.models.t5 import T5Config
+    from t5_resnet_vqa_tpu.models.vit import ViTConfig
+    from t5_resnet_vqa_tpu.models.vit_vqa import VitVQAModel
+
+    root, _ = synth
+    from t5_resnet_vqa_tpu.data import load_answer_spaces
+    answers = load_answer_spaces(os.path.join(root, "answer_spaces.txt"))
+
+    def dry_model():
+        return VitVQAModel(
+            answer_spaces=len(answers),
+            vit_config=ViTConfig(hidden_size=32, num_layers=1, num_heads=4,
+                                 mlp_dim=64, patch_size=32, image_size=224),
+            t5_config=T5Config(vocab_size=32128, d_model=32, d_kv=8,
+                               d_ff=64, num_layers=1, num_decoder_layers=1,
+                               num_heads=4, dropout_rate=0.0),
+            fusing_dropout=0.0)
+
+    def collate_of(trainer):
+        loader = trainer.train_dataloader
+        return (getattr(loader, "collate_fn", None)
+                or loader.loader.collate_fn)
+
+    losses = {}
+    qlens = {}
+    for adaptive in (False, True):
+        cfg = _tiny_config(root, tmp_path / f"adapt_{adaptive}", epochs=1)
+        cfg.model.vision_model_name = "google/vit-base-patch16-224-in21k"
+        cfg.dataset.adaptive_question_len = adaptive
+        trainer = VQATrainer(dry_model(), cfg, answers)
+        qlens[adaptive] = (collate_of(trainer).question_max_len,
+                           collate_of(trainer).decoder_max_len)
+        trainer.train()
+        rows = [json.loads(l) for l in open(trainer.tracker.path)]
+        losses[adaptive] = [
+            (r["train_avg_loss"], r.get("valid_avg_loss"))
+            for r in rows if r.get("_event") == "log" and "train_avg_loss" in r]
+
+    # synthetic questions are short: the adaptive run really did shrink
+    assert qlens[False] == (16, 20)
+    assert qlens[True][0] < 16 and qlens[True][1] < 20
+    for (t_fix, v_fix), (t_ad, v_ad) in zip(losses[False], losses[True]):
+        np.testing.assert_allclose(t_ad, t_fix, rtol=0, atol=1e-6)
+        if v_fix is not None:
+            np.testing.assert_allclose(v_ad, v_fix, rtol=0, atol=1e-6)
+
+    # CNN family: trimming is NOT exact there, so it must not happen
+    cfg = _tiny_config(root, tmp_path / "adapt_cnn", epochs=1)
+    cfg.dataset.adaptive_question_len = True
+    t_cnn = VQATrainer(_tiny_model(len(answers)), cfg, answers)
+    assert collate_of(t_cnn).question_max_len == 16
