@@ -59,12 +59,22 @@ class CheckpointManager:
     callers that need read-after-write (tools, tests) use the default
     synchronous path."""
 
+    # max in-flight background saves. Each pending save holds a device
+    # snapshot (params+opt ~3 GB HBM on the flagship); on a degraded tunnel
+    # a save takes minutes while epochs take seconds, so an unbounded queue
+    # would accumulate snapshots until the chip OOMs. Beyond the bound,
+    # queued-but-unstarted saves of the SAME name are superseded (crash
+    # recovery only ever needs the latest), and submission blocks on the
+    # oldest in-flight save otherwise.
+    MAX_PENDING = 2
+
     def __init__(self, output_dir: str):
         self.output_dir = os.path.join(output_dir, "model_checkpoints")
         os.makedirs(self.output_dir, exist_ok=True)
         self._ckpt = ocp.StandardCheckpointer()
         self._pool = None
-        self._pending: List[Any] = []
+        self._pending: List[Any] = []    # (name, future) pairs
+        self.superseded_saves = 0        # observability for long runs
 
     def _path(self, name: str) -> str:
         return os.path.join(os.path.abspath(self.output_dir), name)
@@ -91,14 +101,29 @@ class CheckpointManager:
             import concurrent.futures
             self._pool = concurrent.futures.ThreadPoolExecutor(
                 1, thread_name_prefix="ckpt-save")
+        # supersede queued-but-unstarted saves of the same name: the newer
+        # tree is strictly more recent crash-recovery state
+        kept = []
+        for n, f in self._pending:
+            if n == name and f.cancel():
+                self.superseded_saves += 1
+            elif not f.done():
+                kept.append((n, f))
+            else:
+                f.result()               # surface any worker exception
+        self._pending = kept
+        while len(self._pending) >= self.MAX_PENDING:
+            self._pending.pop(0)[1].result()     # bound HBM snapshots
         snap = _device_snapshot(tree)
         self._pending.append(
-            self._pool.submit(self._save_sync, name, snap, on_complete))
+            (name, self._pool.submit(self._save_sync, name, snap,
+                                     on_complete)))
 
     def flush(self) -> None:
-        """Join all pending background saves (exceptions propagate)."""
+        """Join all pending background saves (exceptions propagate;
+        cancelled/superseded saves are never in the pending list)."""
         pending, self._pending = self._pending, []
-        for f in pending:
+        for _, f in pending:
             f.result()
 
     def restore_tree(self, name: str, target: Optional[Any] = None) -> Any:

@@ -423,3 +423,35 @@ def test_adaptive_question_len_exact(synth, tmp_path):
     cfg.dataset.adaptive_question_len = True
     t_cnn = VQATrainer(_tiny_model(len(answers)), cfg, answers)
     assert collate_of(t_cnn).question_max_len == 16
+
+
+def test_background_save_supersede_and_bound(tmp_path):
+    """Long runs must not accumulate device snapshots: queued-but-unstarted
+    background saves of the same name are superseded by newer ones, the
+    in-flight count is bounded, and flush() lands only live saves."""
+    import threading
+
+    from t5_resnet_vqa_tpu.train.callbacks import CheckpointManager
+
+    cm = CheckpointManager(str(tmp_path))
+    gate = threading.Event()
+    real_save = cm._ckpt.save
+    saved_values = []
+
+    def slow_save(path, tree, force=True):
+        gate.wait(timeout=10)
+        saved_values.append(float(np.asarray(tree["w"]).ravel()[0]))
+        return real_save(path, tree, force=force)
+
+    cm._ckpt.save = slow_save
+    for i in range(5):   # 5 rapid saves of the same checkpoint name
+        cm.save_tree("checkpoint-model",
+                     {"w": np.full((2,), float(i), np.float32)},
+                     background=True)
+    assert len(cm._pending) <= cm.MAX_PENDING
+    assert cm.superseded_saves >= 2          # middle saves were coalesced
+    gate.set()
+    cm.flush()
+    # the newest tree landed last
+    assert saved_values[-1] == 4.0
+    assert cm.exists("checkpoint-model")
