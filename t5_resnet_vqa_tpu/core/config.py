@@ -34,6 +34,10 @@ class ModelConfig:
     fine_tune_vision: bool = False       # backbones run frozen in the reference
     compute_dtype: str = "float32"       # "bfloat16" for the fast path
     use_pallas: bool = False             # fused Pallas SGA attention kernels
+    # single concat-kernel q/k/v matmuls in every T5 attention — bit-exact,
+    # same param tree (checkpoints interchangeable); measured within tunnel
+    # noise on this chip (benchmarks/bench_t5_encoder.py), so default off
+    fused_qkv: bool = False
 
     VISION_CHOICES = (
         "resnet18", "resnet34", "resnet50", "faster-rcnn",

@@ -40,20 +40,27 @@ def model_family(model_cfg: ModelConfig) -> str:
 
 def build_model(model_cfg: ModelConfig, num_answers: int):
     """Returns (flax module, family string)."""
+    import dataclasses
+
+    from ..models.t5 import T5Config
+
     dtype = _DTYPES[model_cfg.compute_dtype]
     family = model_family(model_cfg)
     name = model_cfg.vision_model_name
+    t5_cfg = dataclasses.replace(T5Config.t5_base(),
+                                 fused_qkv=model_cfg.fused_qkv)
 
     if family == CNN_FAMILY:
         if name == "faster-rcnn":
             model = FasterRcnnVQAModel(
-                answer_spaces=num_answers,
+                answer_spaces=num_answers, t5_config=t5_cfg,
                 num_attention_blocks=model_cfg.num_attention_blocks,
                 fine_tune_vision=model_cfg.fine_tune_vision,
                 dtype=dtype, use_pallas=model_cfg.use_pallas)
         else:
             model = ResnetVQAModel(
                 answer_spaces=num_answers, vision_model_name=name,
+                t5_config=t5_cfg,
                 num_attention_blocks=model_cfg.num_attention_blocks,
                 fine_tune_vision=model_cfg.fine_tune_vision,
                 dtype=dtype, use_pallas=model_cfg.use_pallas)
@@ -63,6 +70,6 @@ def build_model(model_cfg: ModelConfig, num_answers: int):
             fine_tune_vision=model_cfg.fine_tune_vision, dtype=dtype)
     else:
         model = VitVQAModel(
-            answer_spaces=num_answers,
+            answer_spaces=num_answers, t5_config=t5_cfg,
             fine_tune_vision=model_cfg.fine_tune_vision, dtype=dtype)
     return model, family
