@@ -124,25 +124,7 @@ def run_phase(tag, sigint_epoch=None, resume=False, timeout=7200):
     return "".join(lines), wall, rc
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=60)
-    ap.add_argument("--sigint-epoch", type=int, default=15)
-    args = ap.parse_args()
-
-    build_dataset()
-    write_config(args.epochs)
-    import shutil
-    shutil.rmtree(OUT, ignore_errors=True)
-
-    out1, wall1, rc1 = run_phase("phase1", sigint_epoch=args.sigint_epoch)
-    final_saved = os.path.isdir(
-        os.path.join(OUT, "model_checkpoints", "final-model"))
-    log(f"phase1: final-model saved: {final_saved}")
-
-    out2, wall2, rc2 = run_phase("phase2-resume", resume=True)
-
-    # ------- report from the metrics stream -------
+def write_report(args, out1, wall1, rc1, out2, wall2, rc2, final_saved):
     rows = [json.loads(l) for l in open(os.path.join(OUT, "metrics.jsonl"))]
     logs = [r for r in rows if r.get("_event") == "log"]
     train = [(r.get("epoch"), r["train_avg_loss"]) for r in logs
@@ -179,6 +161,42 @@ def main():
         json.dump(report, f, indent=1)
     print(json.dumps({k: v for k, v in report.items()
                       if not k.endswith("curve")}, indent=1))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--sigint-epoch", type=int, default=15)
+    ap.add_argument("--report-only", action="store_true",
+                    help="regenerate the report from an existing run's "
+                         "training logs + metrics.jsonl (e.g. after the "
+                         "runner was interrupted but the trainer finished)")
+    args = ap.parse_args()
+
+    if args.report_only:
+        # reconstruct the phase outputs from the persisted training logs
+        logs = sorted(os.path.join(OUT, f) for f in os.listdir(OUT)
+                      if f.startswith("training_log_"))
+        texts = [open(f).read() for f in logs]
+        out1 = texts[0] if texts else ""
+        out2 = "".join(texts[1:])
+        final_saved = os.path.isdir(
+            os.path.join(OUT, "model_checkpoints", "final-model"))
+        write_report(args, out1, -1, -1, out2, -1, -1, final_saved)
+        return
+
+    build_dataset()
+    write_config(args.epochs)
+    import shutil
+    shutil.rmtree(OUT, ignore_errors=True)
+
+    out1, wall1, rc1 = run_phase("phase1", sigint_epoch=args.sigint_epoch)
+    final_saved = os.path.isdir(
+        os.path.join(OUT, "model_checkpoints", "final-model"))
+    log(f"phase1: final-model saved: {final_saved}")
+
+    out2, wall2, rc2 = run_phase("phase2-resume", resume=True)
+    write_report(args, out1, wall1, rc1, out2, wall2, rc2, final_saved)
 
 
 if __name__ == "__main__":
