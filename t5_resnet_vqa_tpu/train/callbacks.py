@@ -21,8 +21,11 @@ bad epochs instead of killing the process.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
+import threading
 from typing import Any, List, Optional
 
 import jax
@@ -75,14 +78,57 @@ class CheckpointManager:
         self._pool = None
         self._pending: List[Any] = []    # (name, future) pairs
         self.superseded_saves = 0        # observability for long runs
+        self._swap_lock = threading.Lock()   # swap/recover vs worker saves
 
     def _path(self, name: str) -> str:
         return os.path.join(os.path.abspath(self.output_dir), name)
 
+    def _recover(self, name: str) -> None:
+        """Adopt the newest COMPLETE checkpoint after a crash mid-swap.
+
+        ``_save_sync`` writes the new tree to ``<name>.next`` first (Orbax
+        itself is atomic: the dir only appears once the write finished),
+        then swaps it into place. A kill at any point leaves one of:
+
+          .next complete            -> adopt it (it is the newest state)
+          <name> renamed to .old    -> restore it (the previous checkpoint)
+          stray .old after the swap -> delete it
+
+        so ``<name>`` always resolves to a complete checkpoint. Found the
+        hard way: a 60-epoch soak killed mid-save at epoch 43 lost BOTH the
+        old and new ``checkpoint-model`` under the previous
+        delete-then-rewrite scheme, silently degrading resume to the
+        epoch-1 best-model."""
+        final = self._path(name)
+        nxt, old = final + ".next", final + ".old"
+        with self._swap_lock:
+            if os.path.isdir(nxt):
+                if os.path.isdir(final):
+                    shutil.rmtree(final)
+                os.rename(nxt, final)
+            elif not os.path.isdir(final) and os.path.isdir(old):
+                os.rename(old, final)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+
     def _save_sync(self, name: str, tree: Any,
                    on_complete: Optional[Any] = None) -> None:
-        self._ckpt.save(self._path(name), _to_numpy_tree(tree), force=True)
+        self._recover(name)             # adopt/clean any prior crash state
+        final = self._path(name)
+        nxt, old = final + ".next", final + ".old"
+        # incomplete Orbax tmp dirs from killed writes (both the current
+        # .next scheme and the pre-fix direct-write scheme) are garbage
+        for stray in (glob.glob(final + ".orbax-checkpoint-tmp*")
+                      + glob.glob(nxt + ".orbax-checkpoint-tmp*")):
+            shutil.rmtree(stray, ignore_errors=True)
+        self._ckpt.save(nxt, _to_numpy_tree(tree), force=True)
         self._ckpt.wait_until_finished()
+        with self._swap_lock:
+            if os.path.isdir(final):
+                os.rename(final, old)
+            os.rename(nxt, final)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
         if on_complete is not None:
             on_complete()
 
@@ -127,9 +173,11 @@ class CheckpointManager:
             f.result()
 
     def restore_tree(self, name: str, target: Optional[Any] = None) -> Any:
+        self._recover(name)
         return self._ckpt.restore(self._path(name), target)
 
     def exists(self, name: str) -> bool:
+        self._recover(name)
         return os.path.isdir(self._path(name))
 
     def write_json(self, name: str, obj: Any) -> None:

@@ -455,3 +455,80 @@ def test_background_save_supersede_and_bound(tmp_path):
     # the newest tree landed last
     assert saved_values[-1] == 4.0
     assert cm.exists("checkpoint-model")
+
+
+def _tree_val(cm, name):
+    t = cm.restore_tree(name, {"w": np.zeros((2,), np.float32)})
+    return float(np.asarray(t["w"]).ravel()[0])
+
+
+def test_crash_mid_save_preserves_previous_checkpoint(tmp_path):
+    """A kill during the Orbax write must NOT lose the previous rolling
+    checkpoint. Found in the 60-epoch soak: a SIGKILL at epoch 43 mid
+    checkpoint-model save left only an .orbax-checkpoint-tmp dir — the
+    old delete-then-rewrite scheme had already removed epoch 42's
+    checkpoint, silently degrading resume to the epoch-1 best-model."""
+    from t5_resnet_vqa_tpu.train.callbacks import CheckpointManager
+
+    cm = CheckpointManager(str(tmp_path))
+    cm.save_tree("checkpoint-model", {"w": np.full((2,), 1.0, np.float32)})
+
+    real_save = cm._ckpt.save
+
+    def dying_save(path, tree, force=True):
+        raise RuntimeError("simulated kill during orbax write")
+
+    cm._ckpt.save = dying_save
+    with pytest.raises(RuntimeError):
+        cm.save_tree("checkpoint-model",
+                     {"w": np.full((2,), 2.0, np.float32)})
+
+    # the previous checkpoint is still there, complete
+    assert cm.exists("checkpoint-model")
+    assert _tree_val(cm, "checkpoint-model") == 1.0
+
+    # and a later healthy save supersedes it cleanly
+    cm._ckpt.save = real_save
+    cm.save_tree("checkpoint-model", {"w": np.full((2,), 3.0, np.float32)})
+    assert _tree_val(cm, "checkpoint-model") == 3.0
+    leftovers = [p for p in os.listdir(cm.output_dir)
+                 if p.startswith("checkpoint-model") and
+                 p != "checkpoint-model"]
+    assert leftovers == []
+
+
+def test_recover_adopts_complete_next_after_crash(tmp_path):
+    """Crash AFTER the .next write completed but BEFORE the swap: a fresh
+    process must adopt the newer .next checkpoint."""
+    import orbax.checkpoint as ocp
+
+    from t5_resnet_vqa_tpu.train.callbacks import CheckpointManager
+
+    cm = CheckpointManager(str(tmp_path))
+    cm.save_tree("checkpoint-model", {"w": np.full((2,), 1.0, np.float32)})
+    # manufacture the crash state: complete .next beside the old final
+    side = ocp.StandardCheckpointer()
+    side.save(cm._path("checkpoint-model") + ".next",
+              {"w": np.full((2,), 2.0, np.float32)})
+    side.wait_until_finished()
+
+    fresh = CheckpointManager(str(tmp_path))
+    assert fresh.exists("checkpoint-model")
+    assert _tree_val(fresh, "checkpoint-model") == 2.0
+    assert not os.path.isdir(fresh._path("checkpoint-model") + ".next")
+
+
+def test_recover_restores_old_when_swap_interrupted(tmp_path):
+    """Crash between renaming final->.old and .next->final (the .next was
+    then adopted or lost): .old must be restored as the checkpoint."""
+    from t5_resnet_vqa_tpu.train.callbacks import CheckpointManager
+
+    cm = CheckpointManager(str(tmp_path))
+    cm.save_tree("checkpoint-model", {"w": np.full((2,), 1.0, np.float32)})
+    os.rename(cm._path("checkpoint-model"),
+              cm._path("checkpoint-model") + ".old")
+
+    fresh = CheckpointManager(str(tmp_path))
+    assert fresh.exists("checkpoint-model")
+    assert _tree_val(fresh, "checkpoint-model") == 1.0
+    assert not os.path.isdir(fresh._path("checkpoint-model") + ".old")
