@@ -124,9 +124,12 @@ class CheckpointManager:
         self._ckpt.save(nxt, _to_numpy_tree(tree), force=True)
         self._ckpt.wait_until_finished()
         with self._swap_lock:
-            if os.path.isdir(final):
-                os.rename(final, old)
-            os.rename(nxt, final)
+            # a concurrent _recover (exists/restore from another thread) may
+            # have already adopted the completed .next as final
+            if os.path.isdir(nxt):
+                if os.path.isdir(final):
+                    os.rename(final, old)
+                os.rename(nxt, final)
             if os.path.isdir(old):
                 shutil.rmtree(old)
         if on_complete is not None:
