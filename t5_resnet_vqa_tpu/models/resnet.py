@@ -171,6 +171,64 @@ def _space_to_depth_stem(x: jnp.ndarray, w7: jnp.ndarray,
     return y[:, : H // 2, : W // 2, :]
 
 
+def fused_backbone_apply(params, x: jnp.ndarray, *, variant: str = "resnet50",
+                         dtype=jnp.bfloat16, stem_s2d: bool = True,
+                         fuse_stages: Sequence[int] = (0, 1),
+                         interpret=None) -> List[jnp.ndarray]:
+    """ResNetBackbone.__call__ at apply level, with the bottleneck blocks of
+    ``fuse_stages`` routed through the fused Pallas kernel
+    (ops/pallas/bottleneck.py) — one VMEM-resident kernel per block instead
+    of six HBM round-trips.
+
+    EXPERIMENT SURFACE, not a production path: on the real chip the fused
+    kernel measured 0.86x XLA on layer1 blocks and exactly tied on layer2
+    (see the bottleneck.py module docstring for the full sweep), so no
+    model routes through this — the production tower keeps XLA's conv
+    pipeline, which the round-3 bisection showed is already within ~7% of
+    its traffic roofline (benchmarks/resnet_stages.json).
+
+    Same param tree and same returned [C2..C5] as the module; falls back to
+    the module path per block whenever the kernel declines (non-TPU
+    platform, stride-2 blocks under compilation, basic blocks).
+    Forward-only (frozen tower). Numerics differ from the unfused path only
+    by bf16 re-rounding of the folded BN scale (tolerance-pinned in
+    tests/test_fused_bottleneck.py).
+    """
+    from ..ops.pallas.bottleneck import fused_bottleneck
+
+    block_type, depths, widths, expansion = _VARIANTS[variant]
+    block_cls = BasicBlock if block_type == "basic" else Bottleneck
+
+    h = StemConv(dtype=dtype, use_s2d=stem_s2d).apply(
+        {"params": params["conv1"]}, x)
+    h = FrozenBatchNorm(64, dtype).apply({"params": params["bn1"]}, h)
+    h = nn.relu(h)
+    h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+    feats = []
+    in_ch = 64
+    for stage, (depth, width) in enumerate(zip(depths, widths)):
+        stride = 1 if stage == 0 else 2
+        out_ch = width * expansion
+        for b in range(depth):
+            b_stride = stride if b == 0 else 1
+            has_ds = b == 0 and (stride != 1 or in_ch != out_ch)
+            p = params[f"layer{stage + 1}_block{b}"]
+            out = None
+            if block_type == "bottleneck" and stage in fuse_stages:
+                out = fused_bottleneck(h, p, stride=b_stride,
+                                       has_downsample=has_ds,
+                                       interpret=interpret)
+            if out is None:
+                out = block_cls(width=width, stride=b_stride,
+                                has_downsample=has_ds, dtype=dtype).apply(
+                    {"params": p}, h)
+            h = out
+        in_ch = out_ch
+        feats.append(h)
+    return feats
+
+
 class ResNetBackbone(nn.Module):
     """Stem + 4 stages; returns the per-stage feature maps [C2, C3, C4, C5]
 
