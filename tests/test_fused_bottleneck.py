@@ -61,6 +61,23 @@ def test_fused_block_declines_off_tpu():
     assert fused_bottleneck(x, params, stride=1, has_downsample=True) is None
 
 
+def test_fused_backbone_apply_basic_block_fallback():
+    """resnet18 has BasicBlocks — the fused kernel never applies, and the
+    routing must reproduce the module path exactly (same code path)."""
+    from t5_resnet_vqa_tpu.models.resnet import ResNetBackbone
+
+    rng = jax.random.PRNGKey(2)
+    bb = ResNetBackbone(variant="resnet18", dtype=jnp.bfloat16)
+    x = jax.random.normal(rng, (1, 32, 32, 3), jnp.bfloat16)
+    params = bb.init(rng, x)["params"]
+    ref = bb.apply({"params": params}, x)
+    out = fused_backbone_apply(params, x, variant="resnet18",
+                               dtype=jnp.bfloat16, interpret=True)
+    for r, o in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(r, np.float32),
+                                      np.asarray(o, np.float32))
+
+
 def test_fused_backbone_apply_matches_module():
     """Whole-backbone routing: stage-0 blocks fused (interpreter), the
     rest through the module path; must agree with the plain module apply
