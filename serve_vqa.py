@@ -35,6 +35,10 @@ def main():
                    help="compiled serving batch (64 = measured sweet spot)")
     p.add_argument("--top-k", type=int, default=1,
                    help="default top_k when a request omits it")
+    p.add_argument("--image-root", default=None,
+                   help="allowlist root for request image_path values; "
+                        "required for image_path on non-loopback --host "
+                        "(remote clients may always send image_b64)")
     args = p.parse_args()
 
     cfg = Config.from_json(args.config, overrides=args.set)
@@ -42,7 +46,8 @@ def main():
     session = VQAInferenceSession.from_checkpoint(
         cfg, batch_size=args.batch_size)
     server = VQAHTTPServer(session, host=args.host, port=args.port,
-                           default_top_k=args.top_k, logger=print)
+                           default_top_k=args.top_k, logger=print,
+                           image_root=args.image_root)
     print(f"serving {session._family} family "
           f"({len(session.answer_spaces)}-answer space) "
           f"on http://{server.host}:{server.port} "

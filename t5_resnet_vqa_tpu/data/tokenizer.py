@@ -70,7 +70,9 @@ class HashTokenizer:
         self._special_re = re.compile(
             "(" + "|".join(re.escape(t) for t in SPECIAL_TOKENS) + ")")
         self.pinned: dict = {}
+        self.scheme = "hash-v1"          # id-layout version (ckpt contract)
         if pinned_words:
+            self.scheme = "hash-v2-pinned"
             words = sorted({w.lower() for entry in pinned_words
                             for w in self._WORD_RE.findall(entry)})
             if self._PINNED_BASE + len(words) > self._PINNED_CAP:
@@ -162,6 +164,7 @@ class HFTokenizer:
         self.pad_token_id = self.tok.pad_token_id
         self.eos_token_id = self.tok.eos_token_id
         self.vocab_size = constants.T5_VOCAB_SIZE
+        self.scheme = f"hf:{lang_model}"
 
     def __call__(self, texts: Sequence[str], max_length: int,
                  padding: str = "max_length",
@@ -203,6 +206,7 @@ class TokenizerFileTokenizer:
         self.eos_token_id = constants.EOS_TOKEN_ID if eos is None else eos
         self.vocab_size = max(self.tok.get_vocab_size(),
                               constants.T5_VOCAB_SIZE)
+        self.scheme = "tokenizer-file"
 
     def __call__(self, texts: Sequence[str], max_length: int,
                  padding: str = "max_length",

@@ -58,12 +58,25 @@ class VQAHTTPServer:
     """
 
     def __init__(self, session, host: str = "127.0.0.1", port: int = 8000,
-                 default_top_k: int = 1, logger=None):
+                 default_top_k: int = 1, logger=None,
+                 image_root: Optional[str] = None):
         self.session = session
         self.default_top_k = int(default_top_k)
         self._lock = threading.Lock()      # one jit program owns the chip
         self._log = logger
         self.requests_served = 0
+        # image_path policy (advisor r3: an unrestricted path became a
+        # file-existence oracle over the whole server filesystem on
+        # non-loopback binds, and 400s echoed the probed path back):
+        #   image_root set      -> paths must resolve under it; rejected
+        #                          paths are never echoed
+        #   unset, loopback     -> passthrough (local caller already has fs
+        #                          access; heatmap-CLI parity)
+        #   unset, non-loopback -> image_path refused entirely; remote
+        #                          clients must send image_b64
+        self.image_root = (os.path.realpath(image_root)
+                           if image_root else None)
+        self._loopback = host in ("127.0.0.1", "::1", "localhost")
         handler = _make_handler(self)
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self._httpd.daemon_threads = True
@@ -110,7 +123,7 @@ class VQAHTTPServer:
         return 404, {"error": f"unknown route {method} {path}"}
 
     def _ask(self, body):
-        with _resolve_image(body) as img:
+        with _resolve_image(body, self) as img:
             question = _require(body, "question")
             top_k = int(body.get("top_k", self.default_top_k))
             with self._lock:
@@ -123,7 +136,7 @@ class VQAHTTPServer:
         if not isinstance(reqs, list) or not reqs:
             raise _BadRequest("'requests' must be a non-empty list")
         top_k = int(body.get("top_k", self.default_top_k))
-        resolved = [_resolve_image(r) for r in reqs]
+        resolved = [_resolve_image(r, self) for r in reqs]
         try:
             pairs = [(ctx.__enter__(), _require(r, "question"))
                      for ctx, r in zip(resolved, reqs)]
@@ -136,7 +149,7 @@ class VQAHTTPServer:
         return 200, {"results": results}
 
     def _generate(self, body):
-        with _resolve_image(body) as img:
+        with _resolve_image(body, self) as img:
             question = _require(body, "question")
             kwargs = dict(
                 num_beams=int(body.get("num_beams", 1)),
@@ -162,18 +175,35 @@ def _require(body, key):
 
 class _resolve_image:
     """Context manager yielding a filesystem path for a request's image:
-    ``image_path`` passes through (must exist — serving machines mount
-    their corpus), ``image_b64`` lands in a temp file removed on exit."""
+    ``image_path`` is validated against the server's image_root policy (see
+    VQAHTTPServer.__init__ — never echoed back in errors), ``image_b64``
+    lands in a temp file removed on exit."""
 
-    def __init__(self, body):
+    def __init__(self, body, server: "VQAHTTPServer"):
         self.body = body if isinstance(body, dict) else {}
+        self.server = server
         self.tmp = None
 
     def __enter__(self) -> str:
         path = self.body.get("image_path")
         if path is not None:
-            if not isinstance(path, str) or not os.path.isfile(path):
-                raise _BadRequest(f"image_path not found: {path!r}")
+            srv = self.server
+            if not isinstance(path, str):
+                raise _BadRequest("image_path must be a string")
+            if srv.image_root is not None:
+                real = os.path.realpath(path)
+                if not (real == srv.image_root
+                        or real.startswith(srv.image_root + os.sep)):
+                    # no path echo: outside-root probes get a constant reply
+                    raise _BadRequest(
+                        "image_path outside the served image root")
+                path = real
+            elif not srv._loopback:
+                raise _BadRequest(
+                    "image_path is disabled on non-loopback binds without "
+                    "--image-root; send image_b64 instead")
+            if not os.path.isfile(path):
+                raise _BadRequest("image_path not found")
             return path
         b64 = self.body.get("image_b64")
         if not isinstance(b64, str):

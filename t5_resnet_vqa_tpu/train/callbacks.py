@@ -21,11 +21,13 @@ bad epochs instead of killing the process.
 
 from __future__ import annotations
 
+import fcntl
 import glob
 import json
 import os
 import shutil
 import threading
+from contextlib import contextmanager
 from typing import Any, List, Optional
 
 import jax
@@ -71,6 +73,15 @@ class CheckpointManager:
     # oldest in-flight save otherwise.
     MAX_PENDING = 2
 
+    # ``checkpoint-model`` (params) and ``state_dict_checkpoint``
+    # (epoch + global_step + optimizer) are only meaningful as a PAIR from
+    # the same training point (ref faster_rcnn_vqa_trainer.py:269-277
+    # restores them together). They are saved through ``save_pair`` — one
+    # worker task that writes BOTH ``.next`` dirs before swapping EITHER —
+    # and recovered pair-aware, so no kill point can publish params from
+    # epoch N next to an optimizer state from epoch N-1.
+    PAIRED = ("checkpoint-model", "state_dict_checkpoint")
+
     def __init__(self, output_dir: str):
         self.output_dir = os.path.join(output_dir, "model_checkpoints")
         os.makedirs(self.output_dir, exist_ok=True)
@@ -78,12 +89,41 @@ class CheckpointManager:
         self._pool = None
         self._pending: List[Any] = []    # (name, future) pairs
         self.superseded_saves = 0        # observability for long runs
-        self._swap_lock = threading.Lock()   # swap/recover vs worker saves
+        # swap/recover vs worker saves — RLock so guarded sections can nest
+        self._swap_lock = threading.RLock()
+        self._writing: set = set()       # names mid-write on the worker
+        self._fs_fd: Optional[int] = None    # cross-process flock fd
+        self._fs_depth = 0
+
+    @contextmanager
+    def _guard(self):
+        """Thread + CROSS-PROCESS guard for checkpoint-dir mutations and
+        reads (advisor r3: a serving/eval/import process pointed at a live
+        training output_dir could race the trainer's rename swap — both
+        renaming .next into place, or a restore reading ``final`` while a
+        swap renames it away). flock on ``.swap.lock`` serializes across
+        processes; the RLock serializes threads and makes the flock depth
+        counter safe (flock on two fds of the same file would self-deadlock
+        within one process, so one fd + a depth count)."""
+        with self._swap_lock:
+            if self._fs_depth == 0:
+                if self._fs_fd is None:
+                    self._fs_fd = os.open(
+                        os.path.join(self.output_dir, ".swap.lock"),
+                        os.O_CREAT | os.O_RDWR, 0o644)
+                fcntl.flock(self._fs_fd, fcntl.LOCK_EX)
+            self._fs_depth += 1
+            try:
+                yield
+            finally:
+                self._fs_depth -= 1
+                if self._fs_depth == 0:
+                    fcntl.flock(self._fs_fd, fcntl.LOCK_UN)
 
     def _path(self, name: str) -> str:
         return os.path.join(os.path.abspath(self.output_dir), name)
 
-    def _recover(self, name: str) -> None:
+    def _recover_one_locked(self, name: str) -> None:
         """Adopt the newest COMPLETE checkpoint after a crash mid-swap.
 
         ``_save_sync`` writes the new tree to ``<name>.next`` first (Orbax
@@ -98,40 +138,121 @@ class CheckpointManager:
         hard way: a 60-epoch soak killed mid-save at epoch 43 lost BOTH the
         old and new ``checkpoint-model`` under the previous
         delete-then-rewrite scheme, silently degrading resume to the
-        epoch-1 best-model."""
+        epoch-1 best-model. Caller holds ``_swap_lock``."""
         final = self._path(name)
         nxt, old = final + ".next", final + ".old"
-        with self._swap_lock:
-            if os.path.isdir(nxt):
-                if os.path.isdir(final):
-                    shutil.rmtree(final)
-                os.rename(nxt, final)
-            elif not os.path.isdir(final) and os.path.isdir(old):
-                os.rename(old, final)
-            if os.path.isdir(old):
-                shutil.rmtree(old)
+        if os.path.isdir(nxt):
+            if os.path.isdir(final):
+                shutil.rmtree(final)
+            os.rename(nxt, final)
+        elif not os.path.isdir(final) and os.path.isdir(old):
+            os.rename(old, final)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    def _recover(self, name: str) -> None:
+        with self._guard():
+            if name in self.PAIRED:
+                self._recover_pair_locked()
+            else:
+                self._recover_one_locked(name)
+
+    def _recover_pair_locked(self) -> None:
+        """Pair-aware crash recovery for checkpoint-model/state_dict_checkpoint.
+
+        ``_save_pair_sync`` writes BOTH ``.next`` dirs (params first, state
+        last) before swapping EITHER, so at any kill point:
+
+          state ``.next`` complete  -> the whole pair finished writing; adopt
+                                       both (params ``.next`` may already have
+                                       been swapped in — _recover_one handles
+                                       each member's own swap windows)
+          params ``.next`` only     -> the kill landed before the state write
+                                       finished: the new pair never fully
+                                       landed. Adopting the lone params .next
+                                       would publish epoch-N params next to an
+                                       epoch-N-1 optimizer state (the exact
+                                       mixed-lineage hazard) — discard it and
+                                       keep the previous consistent pair.
+
+        Live saves are excluded: while the worker is mid-write (``_writing``),
+        a concurrent exists()/restore() must neither adopt nor discard half
+        of an in-flight pair."""
+        a, b = self.PAIRED
+        if self._writing & set(self.PAIRED):
+            return
+        a_next = self._path(a) + ".next"
+        b_next = self._path(b) + ".next"
+        if not os.path.isdir(b_next) and os.path.isdir(a_next):
+            shutil.rmtree(a_next)
+        self._recover_one_locked(a)
+        self._recover_one_locked(b)
+
+    def _clean_strays(self, name: str) -> None:
+        # incomplete Orbax tmp dirs from killed writes (both the current
+        # .next scheme and the pre-fix direct-write scheme) are garbage
+        final = self._path(name)
+        for stray in (glob.glob(final + ".orbax-checkpoint-tmp*")
+                      + glob.glob(final + ".next.orbax-checkpoint-tmp*")):
+            shutil.rmtree(stray, ignore_errors=True)
+
+    def _write_next(self, name: str, tree: Any) -> str:
+        nxt = self._path(name) + ".next"
+        self._ckpt.save(nxt, _to_numpy_tree(tree), force=True)
+        self._ckpt.wait_until_finished()
+        return nxt
+
+    def _swap_locked(self, name: str) -> None:
+        # a concurrent _recover (exists/restore from another thread) may
+        # have already adopted the completed .next as final
+        final = self._path(name)
+        nxt, old = final + ".next", final + ".old"
+        if os.path.isdir(nxt):
+            if os.path.isdir(final):
+                os.rename(final, old)
+            os.rename(nxt, final)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
 
     def _save_sync(self, name: str, tree: Any,
                    on_complete: Optional[Any] = None) -> None:
         self._recover(name)             # adopt/clean any prior crash state
-        final = self._path(name)
-        nxt, old = final + ".next", final + ".old"
-        # incomplete Orbax tmp dirs from killed writes (both the current
-        # .next scheme and the pre-fix direct-write scheme) are garbage
-        for stray in (glob.glob(final + ".orbax-checkpoint-tmp*")
-                      + glob.glob(nxt + ".orbax-checkpoint-tmp*")):
-            shutil.rmtree(stray, ignore_errors=True)
-        self._ckpt.save(nxt, _to_numpy_tree(tree), force=True)
-        self._ckpt.wait_until_finished()
+        self._clean_strays(name)
         with self._swap_lock:
-            # a concurrent _recover (exists/restore from another thread) may
-            # have already adopted the completed .next as final
-            if os.path.isdir(nxt):
-                if os.path.isdir(final):
-                    os.rename(final, old)
-                os.rename(nxt, final)
-            if os.path.isdir(old):
-                shutil.rmtree(old)
+            self._writing.add(name)
+        try:
+            self._write_next(name, tree)
+            with self._guard():
+                self._swap_locked(name)
+        finally:
+            with self._swap_lock:
+                self._writing.discard(name)
+        if on_complete is not None:
+            on_complete()
+
+    def _save_pair_sync(self, tree_a: Any, tree_b: Any,
+                        on_complete: Optional[Any] = None) -> None:
+        """Save the checkpoint-model/state_dict_checkpoint PAIR atomically:
+        both ``.next`` dirs land on disk before either swap, and both swaps
+        happen under one lock hold, so no kill point (nor any concurrent
+        recovery) can publish a params/optimizer pair from two different
+        training points. See _recover_pair_locked for the crash windows."""
+        a, b = self.PAIRED
+        with self._guard():
+            self._recover_pair_locked()
+        self._clean_strays(a)
+        self._clean_strays(b)
+        with self._swap_lock:
+            self._writing.update(self.PAIRED)
+        try:
+            self._write_next(a, tree_a)   # params first,
+            self._write_next(b, tree_b)   # state last (the commit record)
+            with self._guard():
+                self._swap_locked(a)
+                self._swap_locked(b)
+        finally:
+            with self._swap_lock:
+                self._writing.difference_update(self.PAIRED)
         if on_complete is not None:
             on_complete()
 
@@ -146,6 +267,23 @@ class CheckpointManager:
         if not background:
             self._save_sync(name, tree, on_complete)
             return
+        self._submit(name, self._save_sync, name, _device_snapshot(tree),
+                     on_complete)
+
+    def save_pair(self, params: Any, state: Any, background: bool = False,
+                  on_complete: Optional[Any] = None) -> None:
+        """Save the checkpoint-model (``params``) + state_dict_checkpoint
+        (``state``) crash-recovery pair as ONE atomic unit (advisor r3
+        medium: two independent background saves left a minutes-wide kill
+        window pairing epoch-N params with epoch-N-1 optimizer state)."""
+        if not background:
+            self._save_pair_sync(params, state, on_complete)
+            return
+        self._submit("+".join(self.PAIRED), self._save_pair_sync,
+                     _device_snapshot(params), _device_snapshot(state),
+                     on_complete)
+
+    def _submit(self, name: str, fn: Any, *fn_args: Any) -> None:
         if self._pool is None:
             import concurrent.futures
             self._pool = concurrent.futures.ThreadPoolExecutor(
@@ -163,10 +301,7 @@ class CheckpointManager:
         self._pending = kept
         while len(self._pending) >= self.MAX_PENDING:
             self._pending.pop(0)[1].result()     # bound HBM snapshots
-        snap = _device_snapshot(tree)
-        self._pending.append(
-            (name, self._pool.submit(self._save_sync, name, snap,
-                                     on_complete)))
+        self._pending.append((name, self._pool.submit(fn, *fn_args)))
 
     def flush(self) -> None:
         """Join all pending background saves (exceptions propagate;
@@ -176,16 +311,25 @@ class CheckpointManager:
             f.result()
 
     def restore_tree(self, name: str, target: Optional[Any] = None) -> Any:
-        self._recover(name)
-        return self._ckpt.restore(self._path(name), target)
+        # guard held across recover + read: a concurrent process's swap must
+        # not rename ``final`` away mid-restore
+        with self._guard():
+            self._recover(name)
+            return self._ckpt.restore(self._path(name), target)
 
     def exists(self, name: str) -> bool:
-        self._recover(name)
-        return os.path.isdir(self._path(name))
+        with self._guard():
+            self._recover(name)
+            return os.path.isdir(self._path(name))
 
     def write_json(self, name: str, obj: Any) -> None:
-        with open(os.path.join(self.output_dir, name), "w") as f:
+        # tmp + rename: a kill mid-write must never leave truncated JSON for
+        # _try_resume/EarlyStopping to choke on
+        path = os.path.join(self.output_dir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(obj, f)
+        os.replace(tmp, path)
 
     def read_json(self, name: str) -> Optional[Any]:
         p = os.path.join(self.output_dir, name)
@@ -206,6 +350,10 @@ class Callbacks:
         self.best_score = 0.0
         self.mode = "max"
         self.threshold = 0.0
+        # id-layout version of the tokenizer the params were trained with
+        # (set by the trainer; serialized so resume/serving can detect a
+        # layout change — e.g. hash-v1 vs hash-v2-pinned id shifts)
+        self.tokenizer_scheme: Optional[str] = None
 
     def better_score(self, score: float) -> bool:
         if self.mode == "max":
@@ -222,6 +370,7 @@ class Callbacks:
             "epoch": epoch,
             "best_score": self.best_score,
             "answer_spaces": list(answer_spaces),
+            "tokenizer_scheme": self.tokenizer_scheme,
         }
 
         def _write_metadata() -> None:
@@ -282,14 +431,14 @@ class EarlyStopping(Callbacks):
             if self.num_bad_epoch >= self.patience:
                 self.should_stop = True
 
-    def save_epoch_checkpoint(self, params: Any) -> None:
+    def save_epoch_checkpoint(self, params: Any, epoch: int, opt_state: Any,
+                              global_step: int = 0) -> None:
+        """Submit the checkpoint-model + state_dict_checkpoint pair as one
+        atomic background save (CheckpointManager.save_pair) — params and
+        optimizer state can never land from two different training points."""
         self.logger.log_new_line()
         self.logger.log_message("Saving Epoch Checkpoint")
-        self.ckpt.save_tree("checkpoint-model", params, background=True)
-
-    def save_state_dict_checkpoint(self, epoch: int, opt_state: Any,
-                                   global_step: int = 0) -> None:
-        self.ckpt.save_tree("state_dict_checkpoint", {
+        self.ckpt.save_pair(params, {
             "epoch": np.asarray(epoch),
             "global_step": np.asarray(global_step),
             "optimizer": opt_state}, background=True)

@@ -156,3 +156,48 @@ def test_concurrent_clients(served):
     assert all(body["answer"] == serial["answer"] for _, body in results)
     _, health = _call(server, "GET", "/healthz")
     assert health["requests_served"] >= 9
+
+
+def test_image_root_allowlist(served):
+    """--image-root policy (advisor r3): paths outside the root are rejected
+    with a constant message that never echoes the probed path; paths inside
+    keep working; non-loopback binds without a root refuse image_path but
+    keep image_b64."""
+    server, _, images = served
+    images_dir = os.path.dirname(images[0])
+    try:
+        server.image_root = os.path.realpath(images_dir)
+
+        status, body = _call(server, "POST", "/v1/ask",
+                             {"image_path": images[0], "question": "?"})
+        assert status == 200 and "answer" in body
+
+        probe = "/etc/passwd"
+        status, body = _call(server, "POST", "/v1/ask",
+                             {"image_path": probe, "question": "?"})
+        assert status == 400
+        assert probe not in body["error"]            # no filesystem oracle
+        # traversal out of the root is caught after realpath resolution
+        sneaky = os.path.join(images_dir, "..", "..", "etc", "passwd")
+        status, body = _call(server, "POST", "/v1/ask",
+                             {"image_path": sneaky, "question": "?"})
+        assert status == 400 and "passwd" not in body["error"]
+        # existence inside the root is also not echoed
+        status, body = _call(server, "POST", "/v1/ask",
+                             {"image_path": os.path.join(images_dir, "no.png"),
+                              "question": "?"})
+        assert status == 400 and "no.png" not in body["error"]
+
+        # non-loopback + no root: image_path off, image_b64 still works
+        server.image_root = None
+        server._loopback = False
+        status, body = _call(server, "POST", "/v1/ask",
+                             {"image_path": images[0], "question": "?"})
+        assert status == 400 and "image_b64" in body["error"]
+        b64 = base64.b64encode(open(images[0], "rb").read()).decode()
+        status, body = _call(server, "POST", "/v1/ask",
+                             {"image_b64": b64, "question": "?"})
+        assert status == 200 and "answer" in body
+    finally:
+        server.image_root = None
+        server._loopback = True

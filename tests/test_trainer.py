@@ -246,9 +246,9 @@ def test_checkpoint_every_steps(synth, tmp_path, monkeypatch):
 
     calls = []
     orig = trainer.callbacks.save_epoch_checkpoint
-    monkeypatch.setattr(trainer.callbacks, "save_epoch_checkpoint",
-                        lambda p: (calls.append(trainer.global_step),
-                                   orig(p)))
+    monkeypatch.setattr(
+        trainer.callbacks, "save_epoch_checkpoint",
+        lambda *a, **kw: (calls.append(trainer.global_step), orig(*a, **kw)))
     trainer.train()
     # 4 train batches, every 2 steps -> saves at steps 2 and 4, before the
     # end-of-train save
@@ -287,6 +287,37 @@ def test_crash_recovery_resume_pairs_params_with_opt_state(synth, tmp_path):
     assert t2.start_epoch == 1
     # and the loop-never-runs path must not crash (cur_epoch defined)
     t2.train()
+
+
+def test_resume_refuses_tokenizer_scheme_mismatch(synth, tmp_path):
+    """Advisor r3: a params tree trained under one tokenizer id layout must
+    not silently resume under another (hash-v1 -> hash-v2-pinned shifted
+    every answer-space word id). The scheme is recorded in
+    model_ckpt_info.json and a mismatch at resume raises."""
+    root, _ = synth
+    from t5_resnet_vqa_tpu.data import load_answer_spaces
+    answers = load_answer_spaces(os.path.join(root, "answer_spaces.txt"))
+    cfg = _tiny_config(root, tmp_path / "scheme", epochs=1)
+    t1 = VQATrainer(_tiny_model(len(answers)), cfg, answers)
+    t1.train()
+
+    info_path = os.path.join(str(tmp_path / "scheme"), "model_checkpoints",
+                             "model_ckpt_info.json")
+    info = json.load(open(info_path))
+    assert info["tokenizer_scheme"] == "hash-v2-pinned"
+
+    # tamper: pretend the checkpoint came from a real-vocabulary tokenizer
+    info["tokenizer_scheme"] = "tokenizer-file"
+    json.dump(info, open(info_path, "w"))
+    cfg2 = _tiny_config(root, tmp_path / "scheme", epochs=1)
+    cfg2.trainer.load_from_checkpoint = True
+    with pytest.raises(ValueError, match="Tokenizer scheme mismatch"):
+        VQATrainer(_tiny_model(len(answers)), cfg2, answers)
+
+    # matching scheme resumes normally
+    info["tokenizer_scheme"] = "hash-v2-pinned"
+    json.dump(info, open(info_path, "w"))
+    VQATrainer(_tiny_model(len(answers)), cfg2, answers)
 
 
 def test_compute_rouge_hook(synth, tmp_path):
@@ -499,14 +530,53 @@ def test_crash_mid_save_preserves_previous_checkpoint(tmp_path):
 
 def test_recover_adopts_complete_next_after_crash(tmp_path):
     """Crash AFTER the .next write completed but BEFORE the swap: a fresh
-    process must adopt the newer .next checkpoint."""
+    process must adopt the newer .next checkpoint (single-name path —
+    best-model is not part of the atomic pair)."""
     import orbax.checkpoint as ocp
 
     from t5_resnet_vqa_tpu.train.callbacks import CheckpointManager
 
     cm = CheckpointManager(str(tmp_path))
-    cm.save_tree("checkpoint-model", {"w": np.full((2,), 1.0, np.float32)})
+    cm.save_tree("best-model", {"w": np.full((2,), 1.0, np.float32)})
     # manufacture the crash state: complete .next beside the old final
+    side = ocp.StandardCheckpointer()
+    side.save(cm._path("best-model") + ".next",
+              {"w": np.full((2,), 2.0, np.float32)})
+    side.wait_until_finished()
+
+    fresh = CheckpointManager(str(tmp_path))
+    assert fresh.exists("best-model")
+    assert _tree_val(fresh, "best-model") == 2.0
+    assert not os.path.isdir(fresh._path("best-model") + ".next")
+
+
+def _save_pair_vals(cm, pval, sval):
+    cm.save_pair({"w": np.full((2,), pval, np.float32)},
+                 {"epoch": np.asarray(int(sval)),
+                  "w": np.full((2,), sval, np.float32)})
+
+
+def _pair_vals(cm):
+    p = cm.restore_tree("checkpoint-model",
+                        {"w": np.zeros((2,), np.float32)})
+    s = cm.restore_tree("state_dict_checkpoint",
+                        {"epoch": np.asarray(0),
+                         "w": np.zeros((2,), np.float32)})
+    return (float(np.asarray(p["w"]).ravel()[0]),
+            float(np.asarray(s["w"]).ravel()[0]))
+
+
+def test_pair_recovery_discards_lone_params_next(tmp_path):
+    """Kill between the params .next write and the state .next write: the
+    new pair never fully landed. Adopting the lone params .next would pair
+    epoch-N params with the epoch-N-1 optimizer state (advisor r3 medium) —
+    recovery must discard it and keep the previous consistent pair."""
+    import orbax.checkpoint as ocp
+
+    from t5_resnet_vqa_tpu.train.callbacks import CheckpointManager
+
+    cm = CheckpointManager(str(tmp_path))
+    _save_pair_vals(cm, 1.0, 1.0)
     side = ocp.StandardCheckpointer()
     side.save(cm._path("checkpoint-model") + ".next",
               {"w": np.full((2,), 2.0, np.float32)})
@@ -514,8 +584,126 @@ def test_recover_adopts_complete_next_after_crash(tmp_path):
 
     fresh = CheckpointManager(str(tmp_path))
     assert fresh.exists("checkpoint-model")
-    assert _tree_val(fresh, "checkpoint-model") == 2.0
+    assert _pair_vals(fresh) == (1.0, 1.0)           # consistent OLD pair
     assert not os.path.isdir(fresh._path("checkpoint-model") + ".next")
+
+
+def test_pair_recovery_adopts_both_complete_nexts(tmp_path):
+    """Kill after BOTH .next writes but before the swaps: the new pair is
+    fully on disk — recovery adopts both members together."""
+    import orbax.checkpoint as ocp
+
+    from t5_resnet_vqa_tpu.train.callbacks import CheckpointManager
+
+    cm = CheckpointManager(str(tmp_path))
+    _save_pair_vals(cm, 1.0, 1.0)
+    side = ocp.StandardCheckpointer()
+    side.save(cm._path("checkpoint-model") + ".next",
+              {"w": np.full((2,), 2.0, np.float32)})
+    side.save(cm._path("state_dict_checkpoint") + ".next",
+              {"epoch": np.asarray(2), "w": np.full((2,), 2.0, np.float32)})
+    side.wait_until_finished()
+
+    fresh = CheckpointManager(str(tmp_path))
+    assert _pair_vals(fresh) == (2.0, 2.0)           # consistent NEW pair
+
+
+def test_pair_recovery_finishes_interrupted_swap(tmp_path):
+    """Kill between the params swap and the state swap: the params final is
+    already new and the state .next is complete — recovery must finish the
+    swap so the published pair is (new, new), never (new, old)."""
+    import orbax.checkpoint as ocp
+
+    from t5_resnet_vqa_tpu.train.callbacks import CheckpointManager
+
+    cm = CheckpointManager(str(tmp_path))
+    _save_pair_vals(cm, 1.0, 1.0)
+    cm.save_tree("checkpoint-model", {"w": np.full((2,), 2.0, np.float32)})
+    side = ocp.StandardCheckpointer()
+    side.save(cm._path("state_dict_checkpoint") + ".next",
+              {"epoch": np.asarray(2), "w": np.full((2,), 2.0, np.float32)})
+    side.wait_until_finished()
+
+    fresh = CheckpointManager(str(tmp_path))
+    assert _pair_vals(fresh) == (2.0, 2.0)
+
+
+def test_cross_process_guard_serializes_concurrent_managers(tmp_path):
+    """Advisor r3 (low): a second process (serving/eval/import) pointed at a
+    live training output_dir could race the trainer's rename swap — both
+    renaming .next into place (loser raises OSError) or a restore reading
+    ``final`` while a swap renames it away. Two CheckpointManager instances
+    churn the same dir concurrently; the flock guard must serialize them
+    (flock semantics are identical across processes — separate fds here
+    exercise the same conflict path). Every restore must see a complete,
+    whole-valued tree and no rename may collide."""
+    import threading
+
+    from t5_resnet_vqa_tpu.train.callbacks import CheckpointManager
+
+    a = CheckpointManager(str(tmp_path))
+    b = CheckpointManager(str(tmp_path))
+    a.save_tree("best-model", {"w": np.full((2,), 0.0, np.float32)})
+
+    errs = []
+
+    def writer():
+        try:
+            for i in range(1, 15):
+                a.save_tree("best-model",
+                            {"w": np.full((2,), float(i), np.float32)})
+        except Exception as e:                       # pragma: no cover
+            errs.append(e)
+
+    def reader():
+        try:
+            for _ in range(60):
+                assert b.exists("best-model")
+                v = _tree_val(b, "best-model")
+                assert v == int(v) and 0.0 <= v <= 14.0
+        except Exception as e:                       # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer), threading.Thread(target=reader)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    assert _tree_val(a, "best-model") == 14.0
+
+
+def test_pair_save_dying_mid_state_write_preserves_old_pair(tmp_path):
+    """A save_pair whose STATE write dies (after the params .next landed)
+    must leave the previous pair fully intact — end-to-end version of the
+    lone-.next discard rule."""
+    from t5_resnet_vqa_tpu.train.callbacks import CheckpointManager
+
+    cm = CheckpointManager(str(tmp_path))
+    _save_pair_vals(cm, 1.0, 1.0)
+
+    real_save = cm._ckpt.save
+    calls = {"n": 0}
+
+    def dying_second_save(path, tree, force=True):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated kill during state orbax write")
+        return real_save(path, tree, force=force)
+
+    cm._ckpt.save = dying_second_save
+    with pytest.raises(RuntimeError):
+        _save_pair_vals(cm, 2.0, 2.0)
+    cm._ckpt.save = real_save
+
+    fresh = CheckpointManager(str(tmp_path))
+    assert _pair_vals(fresh) == (1.0, 1.0)
+    # and a later healthy pair save supersedes cleanly, no debris
+    _save_pair_vals(fresh, 3.0, 3.0)
+    assert _pair_vals(fresh) == (3.0, 3.0)
+    debris = [p for p in os.listdir(fresh.output_dir)
+              if p.endswith((".next", ".old"))]
+    assert debris == []
 
 
 def test_recover_restores_old_when_swap_interrupted(tmp_path):

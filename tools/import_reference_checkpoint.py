@@ -65,6 +65,13 @@ def main():
     cfg = Config.from_json(args.config, overrides=args.set)
     out_dir = args.output_dir or cfg.trainer.output_dir
 
+    def _resolved_scheme(cfg, answer_spaces):
+        from t5_resnet_vqa_tpu.data import get_tokenizer
+        tok = get_tokenizer(cfg.dataset.language_model_tokenizer,
+                            tokenizer_file=cfg.dataset.tokenizer_file or None,
+                            pinned_words=answer_spaces)
+        return getattr(tok, "scheme", "unknown")
+
     info = json.load(open(args.ckpt_info))
     sd = torch.load(args.torch_checkpoint, map_location="cpu")
     if not isinstance(sd, dict) or not any(
@@ -79,6 +86,12 @@ def main():
         "epoch": info.get("epoch", 0),
         "best_score": info.get("best_score", 0.0),
         "answer_spaces": info["answer_spaces"],
+        # record the id layout this config resolves to (same resolution the
+        # trainer/serving will perform), so a later run under a DIFFERENT
+        # layout — e.g. importing with tokenizer_file then resuming under
+        # the hash fallback — is refused instead of silently scrambling
+        # token semantics
+        "tokenizer_scheme": _resolved_scheme(cfg, info["answer_spaces"]),
     })
     # EarlyStopping resumes its best score from this manifest — without it,
     # continued training would treat the first (worse) validation as an
