@@ -208,6 +208,12 @@ class VQATrainer:
             self.logger, self.output_dir,
             save_final_model=cb.save_final_model, patience=cb.patience,
             mode=cb.mode, threshold=cb.threshold)
+        # tokenizer id-layout version, recorded into model_ckpt_info.json and
+        # cross-checked at resume (advisor r3: the hash-v2 answer-space
+        # pinning silently shifted ids vs hash-v1 checkpoints)
+        self.tokenizer_scheme = getattr(
+            self.train_dataloader.collate_fn.tokenizer, "scheme", "unknown")
+        self.callbacks.tokenizer_scheme = self.tokenizer_scheme
 
         if tk.load_from_checkpoint:
             self._try_resume()
@@ -231,6 +237,22 @@ class VQATrainer:
                                       tokenizer_file=dk.tokenizer_file)
             self.logger.log_message(
                 f"Tokenizer: real vocabulary from {dk.tokenizer_file}")
+        if dk.dataset_type == "okvqa":
+            # the reference's declared-but-broken OK-VQA path, trainable
+            # (data/okvqa.py module docstring; VERDICT r3 missing #3)
+            from ..data.okvqa import OkVqaTrainableDataset
+            if train_dataset is None:
+                train_dataset = OkVqaTrainableDataset.from_files(
+                    dk.root_data_dir, dk.train_annotations_json_fn,
+                    dk.train_questions_json_fn, dk.train_images_dir, "train")
+            if test_dataset is None:
+                test_dataset = OkVqaTrainableDataset.from_files(
+                    dk.root_data_dir, dk.test_annotations_json_fn,
+                    dk.test_questions_json_fn, dk.test_images_dir, "val")
+            self.logger.log_message(
+                f"Dataset: OK-VQA (COCO-style), {len(train_dataset)} train / "
+                f"{len(test_dataset)} val questions, 10-annotator-answer "
+                f"grid -> fresh-answer sampling")
         if train_dataset is None:
             train_dataset = DaquarDataset(dk.root_data_dir, dk.train_csv_file,
                                           dk.images_dir, "train")
@@ -246,25 +268,29 @@ class VQATrainer:
                 resizing_dimensions=dims,
                 lang_model=dk.language_model_tokenizer, seed=seed,
                 tokenizer=tokenizer, use_native=dk.use_native_preprocessor,
-                emit_uint8=dk.uint8_wire_images)
+                emit_uint8=dk.uint8_wire_images,
+                reduced_decode=dk.reduced_decode)
             test_collate = DaquarCnnCollate(
                 self.answer_spaces, dk.interpolation_strategy,
                 resizing_dimensions=dims,
                 lang_model=dk.language_model_tokenizer, eval_mode=True,
                 seed=seed, tokenizer=tokenizer,
                 use_native=dk.use_native_preprocessor,
-                emit_uint8=dk.uint8_wire_images)
+                emit_uint8=dk.uint8_wire_images,
+                reduced_decode=dk.reduced_decode)
         else:
             train_collate = DaquarVitCollate(
                 self.answer_spaces, lang_model=dk.language_model_tokenizer,
                 seed=seed, tokenizer=tokenizer,
                 use_native=dk.use_native_preprocessor,
-                emit_uint8=dk.uint8_wire_images)
+                emit_uint8=dk.uint8_wire_images,
+                reduced_decode=dk.reduced_decode)
             test_collate = DaquarVitCollate(
                 self.answer_spaces, lang_model=dk.language_model_tokenizer,
                 eval_mode=True, seed=seed, tokenizer=tokenizer,
                 use_native=dk.use_native_preprocessor,
-                emit_uint8=dk.uint8_wire_images)
+                emit_uint8=dk.uint8_wire_images,
+                reduced_decode=dk.reduced_decode)
 
         if dk.adaptive_question_len and self.family == VIT_FAMILY:
             # ViT family ONLY: its text path reads token-0 (pads are masked
@@ -396,11 +422,12 @@ class VQATrainer:
     def _try_resume(self):
         """Auto-resume (entry script :24-26 + optimizer resume ref :269-277).
 
-        ``checkpoint-model`` and ``state_dict_checkpoint`` are always written
-        together (per-epoch in train(), and mid-epoch when
-        ``checkpoint_every_steps`` fires), so that pair is the consistent
-        crash-recovery point and is preferred over the reference's
-        best-model-only contract. When only ``best-model`` exists (old runs),
+        ``checkpoint-model`` and ``state_dict_checkpoint`` are written as ONE
+        atomic pair (CheckpointManager.save_pair: both .next dirs land before
+        either swap; recovery discards a half-written pair) — per-epoch in
+        train(), and mid-epoch when ``checkpoint_every_steps`` fires — so
+        that pair is guaranteed to come from the same training point and is
+        preferred over the reference's best-model-only contract. When only ``best-model`` exists (old runs),
         params are restored WITHOUT the optimizer state — resuming best-model
         params against an optimizer state from a different point in training
         would mix two training states. LR schedules continue correctly: they
@@ -408,6 +435,27 @@ class VQATrainer:
         count and logged step resume from the checkpoint's metadata (an
         interrupted epoch is re-run)."""
         ck = self.callbacks.ckpt
+        info = ck.read_json("model_ckpt_info.json")
+        if info is not None:
+            saved = info.get("tokenizer_scheme")
+            if saved is not None and saved != self.tokenizer_scheme:
+                # a params tree trained under one id layout is meaningless
+                # under another (hash-v1 -> hash-v2-pinned shifted every
+                # answer-space word id); resuming would silently train
+                # against scrambled token semantics
+                raise ValueError(
+                    f"Tokenizer scheme mismatch: checkpoint was trained with "
+                    f"{saved!r} but this run tokenizes with "
+                    f"{self.tokenizer_scheme!r}. Point dataset_kwargs at the "
+                    f"original tokenizer (tokenizer_file / language_model_"
+                    f"tokenizer) or start a fresh output_dir.")
+            elif saved is None and str(
+                    self.tokenizer_scheme).startswith("hash"):
+                self.logger.log_message(
+                    "WARNING: checkpoint predates tokenizer-scheme metadata; "
+                    "if it was trained before hash-v2 answer-space pinning, "
+                    "its token ids do not match this run's "
+                    f"({self.tokenizer_scheme})")
         paired = ck.exists("checkpoint-model")
         params_name = "checkpoint-model" if paired else "best-model"
         if ck.exists(params_name):
@@ -436,7 +484,29 @@ class VQATrainer:
                 # the run's lineage
                 target.pop("global_step")
                 restored = ck.restore_tree("state_dict_checkpoint", target)
-            self.opt_state = restored["optimizer"]
+            restored_opt = restored["optimizer"]
+            if self.mesh is not None:
+                # params were re-sharded above; the optimizer moments must
+                # follow or jit sees COMMITTED single-device arrays (Orbax
+                # restores onto the default device) next to mesh-sharded
+                # params — "incompatible devices". The freshly-initialized
+                # opt_state (jit(tx.init) on sharded params) is the
+                # template: leaves it placed with a mesh NamedSharding get
+                # device_put onto that sharding; the rest (scalar step
+                # counters the compiler left on one device, UNcommitted)
+                # stay host-side numpy so jit keeps the freedom to place
+                # them exactly as it does on a fresh run.
+                from jax.sharding import NamedSharding
+
+                def _replace(restored_leaf, template_leaf):
+                    sh = getattr(template_leaf, "sharding", None)
+                    if isinstance(sh, NamedSharding):
+                        return jax.device_put(restored_leaf, sh)
+                    return np.asarray(restored_leaf)
+
+                restored_opt = jax.tree.map(_replace, restored_opt,
+                                            self.opt_state)
+            self.opt_state = restored_opt
             self.start_epoch = int(restored["epoch"])
             self.global_step = int(restored.get("global_step", 0))
             self.logger.log_line()
@@ -583,10 +653,9 @@ class VQATrainer:
                     self.valid_one_epoch()
                 # epoch-end crash-recovery pair: params + optimizer state at
                 # the same point ('0 = epoch-end only' TrainerConfig contract;
-                # epoch+1 = the next epoch to run on resume)
-                self.callbacks.save_epoch_checkpoint(self.params)
-                self.callbacks.save_state_dict_checkpoint(
-                    epoch + 1, self.opt_state, self.global_step)
+                # epoch+1 = the next epoch to run on resume). ONE atomic save.
+                self.callbacks.save_epoch_checkpoint(
+                    self.params, epoch + 1, self.opt_state, self.global_step)
                 self._last_ckpt_step = self.global_step
                 if self.callbacks.should_stop:
                     self.logger.log_message(
@@ -605,6 +674,14 @@ class VQATrainer:
         # land all background checkpoint saves before train() returns —
         # callers (and tests) may read the artifacts immediately
         self.callbacks.ckpt.flush()
+        superseded = self.callbacks.ckpt.superseded_saves
+        if superseded:
+            # observability for long runs: how many queued crash-recovery
+            # saves were replaced by a newer tree before they started
+            # (epochs outpacing a degraded tunnel's save throughput)
+            self.logger.log_message(
+                f"Checkpoint worker superseded {superseded} queued save(s) "
+                f"with newer state (save slower than epoch cadence)")
         self.tracker.finish()
 
     def train_one_epoch(self):
@@ -701,9 +778,9 @@ class VQATrainer:
             if (ck_every and self.global_step - self._last_ckpt_step
                     >= ck_every):
                 # periodic crash-recovery save (fetches params; opt-in cost)
-                self.callbacks.save_epoch_checkpoint(self.params)
-                self.callbacks.save_state_dict_checkpoint(
-                    self.cur_epoch, self.opt_state, self.global_step)
+                self.callbacks.save_epoch_checkpoint(
+                    self.params, self.cur_epoch, self.opt_state,
+                    self.global_step)
                 self._last_ckpt_step = self.global_step
 
             if self.total_train_batch < 10:

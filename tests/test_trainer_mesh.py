@@ -1,0 +1,286 @@
+"""End-to-end VQATrainer under a device mesh (VERDICT r3 missing #2).
+
+The step-level mesh coverage (test_multichip.py, __graft_entry__.dryrun)
+never exercised the trainer's OWN mesh branches: _put_batch/_put_stacked
+sharding, the host-resident frozen-feature cache, valid_one_epoch under a
+mesh, checkpointing from sharded params, and the resume path's re-shard
+(train/trainer.py:186-187, 443-444, 576-590). These tests train the full
+``VQATrainer`` on the 8-virtual-device CPU mesh — dp (8x1) and dp x tp
+(4x2) — through multiple epochs with validation and checkpoints, assert the
+loss trajectory matches the mesh-free run, resume from checkpoint with
+params re-sharded, and survive a real SIGKILL mid-training.
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from t5_resnet_vqa_tpu.core import Config
+from t5_resnet_vqa_tpu.data import load_answer_spaces, make_synthetic_daquar
+from t5_resnet_vqa_tpu.models.resnet_vqa import ResnetVQAModel
+from t5_resnet_vqa_tpu.models.t5 import T5Config
+from t5_resnet_vqa_tpu.ops import AttentionConfig
+from t5_resnet_vqa_tpu.parallel import make_mesh
+from t5_resnet_vqa_tpu.train import VQATrainer
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+def _tiny_model(num_answers):
+    hidden = 32
+    return ResnetVQAModel(
+        answer_spaces=num_answers, vision_model_name="resnet18",
+        t5_config=T5Config(vocab_size=32128, d_model=hidden, d_kv=8,
+                           d_ff=64, num_layers=1, num_decoder_layers=1,
+                           num_heads=4),
+        sga_config=AttentionConfig(hidden_size=hidden, num_heads=4,
+                                   ff_size=hidden),
+        num_attention_blocks=1)
+
+
+def _mesh_config(root, out_dir, epochs=3):
+    cfg = Config()
+    cfg.dataset.root_data_dir = root
+    # batch 8: divisible by every data-axis size used here (8, 4, 2)
+    cfg.dataset.train_batch_size = 8
+    cfg.dataset.test_batch_size = 8
+    cfg.dataset.image_size = 64
+    cfg.trainer.epochs = epochs
+    cfg.trainer.output_dir = str(out_dir)
+    cfg.trainer.seed = 0
+    cfg.trainer.steps_per_dispatch = 2        # exercise _put_stacked
+    cfg.trainer.cache_frozen_features = True  # host-resident cache branch
+    cfg.optimizer.kwargs = {"weight_decay": 0.0, "amsgrad": True}
+    cfg.optimizer.lm_encoder_lr = 1e-3
+    cfg.optimizer.classifier_lr = 5e-3
+    cfg.optimizer.fusion_lr = 1e-3
+    cfg.callbacks.threshold = -1.0
+    return cfg.validate()
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("daquar_mesh"))
+    return make_synthetic_daquar(root, num_train=16, num_test=8,
+                                 image_size=64)
+
+
+def _train_losses(trainer):
+    rows = [json.loads(l) for l in open(trainer.tracker.path)]
+    return [r["train_avg_loss"] for r in rows
+            if r.get("_event") == "log" and "train_avg_loss" in r]
+
+
+def _valid_wups(trainer):
+    rows = [json.loads(l) for l in open(trainer.tracker.path)]
+    return [r["valid_avg_wups"] for r in rows
+            if r.get("_event") == "log" and "valid_avg_wups" in r]
+
+
+def _run(root, out, answers, mesh=None, epochs=3, resume=False):
+    cfg = _mesh_config(root, out, epochs=epochs)
+    cfg.trainer.load_from_checkpoint = resume
+    trainer = VQATrainer(_tiny_model(len(answers)), cfg, answers, mesh=mesh)
+    trainer.train()
+    return trainer
+
+
+@pytest.fixture(scope="module")
+def meshfree(synth, tmp_path_factory):
+    """Reference trajectory: same config, no mesh."""
+    root, _ = synth
+    answers = load_answer_spaces(os.path.join(root, "answer_spaces.txt"))
+    out = tmp_path_factory.mktemp("meshfree")
+    return _run(root, str(out), answers), answers
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
+def test_trainer_e2e_under_mesh_matches_meshfree(synth, tmp_path, meshfree,
+                                                 dp, tp):
+    """Full trainer (feature cache + scan dispatch + validation + background
+    checkpoints) under dp and dp x tp meshes reproduces the mesh-free loss
+    trajectory — the batches, dropout keys and update math are identical;
+    only the layout (and float reduction order) differs."""
+    root, _ = synth
+    ref, answers = meshfree
+    mesh = make_mesh(data_axis_size=dp, model_axis_size=tp)
+    t = _run(root, str(tmp_path / f"mesh{dp}x{tp}"), answers, mesh=mesh)
+
+    ref_losses, losses = _train_losses(ref), _train_losses(t)
+    assert len(losses) == len(ref_losses) == 3
+    np.testing.assert_allclose(losses, ref_losses, rtol=2e-3, atol=2e-4)
+    # validation ran under the mesh each epoch
+    assert len(_valid_wups(t)) == 3
+
+    # host-resident feature cache was actually used (mesh branch)
+    assert t._feature_cache is not None
+    assert isinstance(t._feature_cache.features, np.ndarray), \
+        "mesh runs must keep the frozen-feature cache host-side"
+
+    # trained params still carry their shardings after N updates
+    q = t.params["lang_model"]["block_0"]["self_attn"]["q"]["kernel"]
+    want = P(None, "model") if tp > 1 else P()
+    assert isinstance(q.sharding, NamedSharding)
+    assert q.sharding.spec == want
+
+    # checkpoint artifacts landed from sharded params
+    ckpt_dir = os.path.join(str(tmp_path / f"mesh{dp}x{tp}"),
+                            "model_checkpoints")
+    for name in ("best-model", "checkpoint-model", "state_dict_checkpoint",
+                 "model_ckpt_info.json"):
+        assert os.path.exists(os.path.join(ckpt_dir, name)), name
+
+
+def test_trainer_mesh_resume_reshards(synth, tmp_path, meshfree):
+    """Resume under a dp x tp mesh: params restored from the (host-side)
+    checkpoint must be re-sharded onto the mesh (trainer.py _try_resume),
+    the optimizer state must follow (found a real bug: Orbax restores
+    COMMITTED default-device arrays; the first step then failed with
+    'incompatible devices' until the restore re-sharded the moments), and
+    the continued epoch must match a MESH-FREE trainer resumed from the
+    same checkpoint (a resumed run restarts the dropout-RNG chain, so the
+    twin must share resume semantics — comparing against a straight
+    3-epoch run would conflate mesh behavior with RNG lineage)."""
+    import shutil
+
+    root, _ = synth
+    _, answers = meshfree
+    out = str(tmp_path / "resume")
+    mesh = make_mesh(data_axis_size=4, model_axis_size=2)
+
+    t1 = _run(root, out, answers, mesh=mesh, epochs=2)
+    saved = jax.tree.map(np.asarray, t1.params)
+
+    # twin output dir so the two resumed runs don't cross-write checkpoints
+    out_twin = str(tmp_path / "resume_twin")
+    shutil.copytree(out, out_twin)
+
+    t2cfg = _mesh_config(root, out, epochs=3)
+    t2cfg.trainer.load_from_checkpoint = True
+    t2 = VQATrainer(_tiny_model(len(answers)), t2cfg, answers, mesh=mesh)
+
+    # params equal the checkpoint, re-sharded onto the mesh
+    for a, b in zip(jax.tree.leaves(saved), jax.tree.leaves(t2.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    q = t2.params["lang_model"]["block_0"]["self_attn"]["q"]["kernel"]
+    assert q.sharding.spec == P(None, "model")
+    assert t2.start_epoch == 2
+
+    t2.train()                                   # epoch 2 runs under mesh
+
+    twincfg = _mesh_config(root, out_twin, epochs=3)
+    twincfg.trainer.load_from_checkpoint = True
+    twin = VQATrainer(_tiny_model(len(answers)), twincfg, answers)
+    assert twin.start_epoch == 2
+    twin.train()                                 # same epoch, no mesh
+
+    np.testing.assert_allclose(_train_losses(t2)[-1],
+                               _train_losses(twin)[-1],
+                               rtol=2e-3, atol=2e-4)
+
+
+_MESH_CHILD = r"""
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+root, out_dir, epochs, resume = sys.argv[1:5]
+
+from t5_resnet_vqa_tpu.core import Config
+from t5_resnet_vqa_tpu.data import load_answer_spaces
+from t5_resnet_vqa_tpu.models.resnet_vqa import ResnetVQAModel
+from t5_resnet_vqa_tpu.models.t5 import T5Config
+from t5_resnet_vqa_tpu.ops import AttentionConfig
+from t5_resnet_vqa_tpu.parallel import make_mesh
+from t5_resnet_vqa_tpu.train import VQATrainer
+
+cfg = Config()
+cfg.dataset.root_data_dir = root
+cfg.dataset.train_batch_size = 8
+cfg.dataset.test_batch_size = 8
+cfg.dataset.image_size = 64
+cfg.trainer.epochs = int(epochs)
+cfg.trainer.output_dir = out_dir
+cfg.trainer.seed = 0
+cfg.trainer.checkpoint_every_steps = 1
+cfg.trainer.cache_frozen_features = True
+cfg.trainer.load_from_checkpoint = resume == "1"
+cfg.callbacks.threshold = -1.0
+cfg = cfg.validate()
+
+answers = load_answer_spaces(root + "/answer_spaces.txt")
+model = ResnetVQAModel(
+    answer_spaces=len(answers), vision_model_name="resnet18",
+    t5_config=T5Config(vocab_size=32128, d_model=32, d_kv=8, d_ff=64,
+                       num_layers=1, num_decoder_layers=1, num_heads=4),
+    sga_config=AttentionConfig(hidden_size=32, num_heads=4, ff_size=32),
+    num_attention_blocks=1)
+mesh = make_mesh(data_axis_size=4, model_axis_size=2)
+VQATrainer(model, cfg, answers, mesh=mesh).train()
+print("TRAIN_COMPLETED", flush=True)
+"""
+
+
+def _launch(root, out_dir, epochs, resume):
+    return subprocess.Popen(
+        [sys.executable, "-u", "-c", _MESH_CHILD, root, out_dir,
+         str(epochs), "1" if resume else "0"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+
+
+def _run_until(proc, marker, timeout=420):
+    lines = []
+    t0 = time.time()
+    for line in proc.stdout:
+        lines.append(line)
+        if marker in line:
+            return "".join(lines)
+        if time.time() - t0 > timeout:
+            proc.kill()
+            raise RuntimeError(
+                f"timeout waiting for {marker!r}:\n" + "".join(lines[-30:]))
+    return None if proc.wait() != 0 else "".join(lines)
+
+
+@pytest.mark.slow
+def test_sigkill_mid_mesh_training_resumes(synth, tmp_path):
+    """SIGKILL a live dp x tp mesh training run mid-save; a fresh process
+    must restore the paired crash checkpoint, re-shard params onto the
+    mesh, and run to completion — the mesh-flavored twin of
+    test_kill_resume.py."""
+    root, _ = synth
+    out = str(tmp_path / "mesh_kill")
+
+    proc = _launch(root, out, epochs=50, resume=False)
+    _run_until(proc, "Epoch #1:")
+    time.sleep(1.0)                 # land inside the background save window
+    proc.send_signal(signal.SIGKILL)
+    proc.wait()
+
+    proc = _launch(root, out, epochs=4, resume=True)
+    transcript = _run_until(proc, "TRAIN_COMPLETED")
+    assert transcript is not None and proc.wait() == 0
+    assert "Loaded params from checkpoint-model" in transcript
+    assert "Loaded Optimizer from Checkpoint" in transcript
+
+    ckpt_dir = os.path.join(out, "model_checkpoints")
+    debris = [p for p in os.listdir(ckpt_dir)
+              if p.endswith((".next", ".old"))]
+    assert debris == []
