@@ -1,0 +1,206 @@
+"""Per-segment bisect of the serving ask_batch wall (VERDICT r3 weak #1).
+
+Round 3 measured end-to-end serving at B=64 = 282.5 ms/batch (227
+answers/s) vs 8 620 device-forward pairs/s and noted "decode dominates"
+without evidence. This script produces the per-segment breakdown of one
+ask_batch(B) call and measures the attack surface:
+
+  decode       file -> RGB uint8 (cv2.imread + cvtColor)
+  resize       uint8 resize to the model geometry (+ batch pack)
+  tokenize     question text -> [B, S] ids/mask
+  h2d          jax.device_put of the packed batch (+ block)
+  compute      the jitted predict program on device-resident inputs
+  fetch+decode log_probs fetch + top-k answer decode
+
+and then the end-to-end path with the opt-in knobs:
+
+  baseline           full decode (reference-exact pixels)
+  reduced_decode=2   cv2.IMREAD_REDUCED_COLOR_2 (DCT-scaled for JPEG)
+  jpeg source        same corpus stored as JPEG (DAQUAR ships PNG; a
+                     serving deployment can transcode its corpus once)
+
+plus the pixel/answer parity delta of each variant vs baseline.
+
+Sources are 640x480 (real DAQUAR/NYU-Depth geometry — round 3's serving
+bench used 224^2 files on disk, understating the decode+resize wall).
+
+Usage: python benchmarks/bench_serving_bisect.py [batch] [family]
+       family in {cnn, vit} (default cnn = the flagship)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ROUNDS = 8
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _timeit(fn, rounds=ROUNDS):
+    fn()                                   # warm caches / compiles
+    times = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def main():
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from t5_resnet_vqa_tpu.data.preprocessing import decode_image
+    from t5_resnet_vqa_tpu.data.synthetic import make_synthetic_daquar
+    from t5_resnet_vqa_tpu.eval.session import VQAInferenceSession
+
+    t0 = time.time()
+    float(jnp.ones(()).sum())
+    log(f"tunnel warmup: {time.time() - t0:.1f}s "
+        f"(device: {jax.devices()[0].platform})")
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    family = sys.argv[2] if len(sys.argv) > 2 else "cnn"
+
+    # 640x480 sources: real DAQUAR frame geometry
+    root, kw = make_synthetic_daquar(
+        "/tmp/serve_bisect_daquar", num_train=2, num_test=B, num_images=B,
+        image_size=256, source_hw=(480, 640))
+    answers = [a.strip() for a in
+               open(os.path.join(root, kw["answer_spaces_file"]))]
+    images_dir = os.path.join(root, kw["images_dir"])
+    png_paths = sorted(os.path.join(images_dir, f)
+                       for f in os.listdir(images_dir))[:B]
+    # JPEG twin corpus (quality 90, the usual serving transcode)
+    jpg_dir = os.path.join(root, "images_jpg")
+    os.makedirs(jpg_dir, exist_ok=True)
+    jpg_paths = []
+    for p in png_paths:
+        q = os.path.join(jpg_dir, os.path.basename(p).replace(".png", ".jpg"))
+        if not os.path.exists(q):
+            cv2.imwrite(q, cv2.imread(p), [cv2.IMWRITE_JPEG_QUALITY, 90])
+        jpg_paths.append(q)
+
+    if family == "cnn":
+        from t5_resnet_vqa_tpu.models.resnet_vqa import ResnetVQAModel
+        model = ResnetVQAModel(answer_spaces=len(answers),
+                               vision_model_name="resnet50",
+                               dtype=jnp.bfloat16)
+        rng = np.random.default_rng(0)
+        init = dict(
+            question_input_ids=np.zeros((1, 16), np.int32),
+            question_attention_masks=np.ones((1, 16), np.int32),
+            image_tensors=rng.random((1, 256, 256, 3)).astype(np.float32))
+        target_hw = 256
+    else:
+        from t5_resnet_vqa_tpu.models.vit_vqa import VitVQAModel
+        model = VitVQAModel(answer_spaces=len(answers), dtype=jnp.bfloat16)
+        rng = np.random.default_rng(0)
+        init = dict(
+            question_input_ids=np.zeros((1, 16), np.int32),
+            question_attention_masks=np.ones((1, 16), np.int32),
+            decoder_question_input_ids=np.zeros((1, 20), np.int32),
+            decoder_question_attention_masks=np.ones((1, 20), np.int32),
+            pixel_values=rng.random((1, 224, 224, 3)).astype(np.float32))
+        target_hw = 224
+    params = model.init(jax.random.PRNGKey(0), **init)["params"]
+
+    def make_session(reduced=0):
+        return VQAInferenceSession(
+            model, params, answers, family, batch_size=B, image_size=256,
+            reduced_decode=reduced)
+
+    session = make_session()
+    reqs_png = [(png_paths[i], f"what is on the table {i}?")
+                for i in range(B)]
+    reqs_jpg = [(jpg_paths[i], f"what is on the table {i}?")
+                for i in range(B)]
+
+    # ---------------- segment bisect (baseline PNG path) ----------------
+    seg = {}
+    decoded = [decode_image(p) for p in png_paths]
+    seg["decode_ms"] = _timeit(
+        lambda: [decode_image(p) for p in png_paths]) * 1e3
+
+    def resize_pack():
+        out = np.empty((B, target_hw, target_hw, 3), np.uint8)
+        for i, img in enumerate(decoded):
+            out[i] = cv2.resize(img, (target_hw, target_hw),
+                                interpolation=cv2.INTER_LINEAR)
+        return out
+    seg["resize_pack_ms"] = _timeit(resize_pack) * 1e3
+
+    texts = [q for _, q in reqs_png]
+    seg["tokenize_ms"] = _timeit(
+        lambda: session.collate.tokenizer(texts, 16)) * 1e3
+
+    batch = session._collate_chunk(reqs_png)
+    seg["collate_total_ms"] = _timeit(
+        lambda: session._collate_chunk(reqs_png)) * 1e3
+
+    def h2d():
+        dev = jax.device_put(batch)
+        jax.block_until_ready(dev)
+        return dev
+    seg["h2d_ms"] = _timeit(h2d) * 1e3
+    dev_batch = h2d()
+
+    def compute():
+        out = session._predict(session._params, dev_batch)
+        np.asarray(out)     # fetch = the only sync through the tunnel
+    seg["compute_plus_fetch_ms"] = _timeit(compute) * 1e3
+
+    log_probs = np.asarray(session._predict(session._params, dev_batch))
+    seg["answer_decode_ms"] = _timeit(
+        lambda: session._decode(log_probs[:B], 1)) * 1e3
+
+    log("segments (ms): " + json.dumps(
+        {k: round(v, 1) for k, v in seg.items()}))
+
+    # ---------------- end-to-end variants ----------------
+    variants = {}
+    base_out = None
+    for tag, reduced, reqs in [
+            ("png_full", 0, reqs_png),
+            ("png_reduced2", 2, reqs_png),
+            ("jpg_full", 0, reqs_jpg),
+            ("jpg_reduced2", 2, reqs_jpg)]:
+        s = make_session(reduced)
+        s._predict = session._predict          # share the compiled program
+        dt = _timeit(lambda: s.ask_batch(reqs, top_k=1), rounds=ROUNDS)
+        out = s.ask_batch(reqs, top_k=1)
+        if base_out is None:
+            base_out = out
+        agree = float(np.mean([a["answer"] == b["answer"]
+                               for a, b in zip(base_out, out)]))
+        variants[tag] = {"ms_per_batch": round(dt * 1e3, 1),
+                         "answers_per_sec": round(B / dt, 1),
+                         "answer_agreement_vs_baseline": round(agree, 4)}
+        log(f"{tag}: {dt * 1e3:.1f} ms/batch = {B / dt:.0f} answers/s, "
+            f"agreement {agree:.3f}")
+
+    # pixel parity delta of reduced decode (uint8 LSBs, resized geometry)
+    full = session.collate.load_images(png_paths[:8]).astype(np.int32)
+    red = make_session(2).collate.load_images(png_paths[:8]).astype(np.int32)
+    pix = {"mean_abs_lsb": float(np.mean(np.abs(full - red))),
+           "p99_abs_lsb": float(np.percentile(np.abs(full - red), 99))}
+    log(f"reduced-decode pixel delta vs full (uint8 LSB): {pix}")
+
+    print(json.dumps({"bench": "serving_bisect", "batch": B,
+                      "family": family, "segments_ms":
+                      {k: round(v, 2) for k, v in seg.items()},
+                      "variants": variants, "pixel_delta": pix}))
+
+
+if __name__ == "__main__":
+    main()

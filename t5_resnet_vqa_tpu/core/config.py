@@ -90,6 +90,26 @@ class DatasetConfig:
     # (benchmarks/bench_t5_encoder.py). Train-time only; eval CLIs/serving
     # keep the fixed reference lengths.
     adaptive_question_len: bool = True
+    # 0 (off, reference-exact), 2 or 4: decode images at 1/2 / 1/4 scale
+    # (cv2.IMREAD_REDUCED_COLOR_* — DCT-scaled for JPEG) before the resize.
+    # OPT-IN like uint8_wire_images: pixels differ slightly from
+    # full-decode-then-resize; measured parity delta + host-decode speedup
+    # in benchmarks/serving.md
+    reduced_decode: int = 0
+    # "daquar" (csv, default) or "okvqa" — the reference DECLARED the OK-VQA
+    # path (trainer/vit_vqa_trainer.py:10 imports it; dataset at
+    # dataset_utils/dataset.py:43-207) but shipped it broken; here it
+    # trains for real through data/okvqa.py's COCO-style loader with the
+    # 10-annotator-answer grid feeding the fresh-answer-per-epoch rule.
+    dataset_type: str = "daquar"
+    # OK-VQA file layout (reference _init_dataloader dataset_kwargs names,
+    # vit_vqa_trainer.py:267-276, split into questions/annotations JSONs)
+    train_questions_json_fn: str = "OpenEnded_mscoco_train2014_questions.json"
+    train_annotations_json_fn: str = "mscoco_train2014_annotations.json"
+    test_questions_json_fn: str = "OpenEnded_mscoco_val2014_questions.json"
+    test_annotations_json_fn: str = "mscoco_val2014_annotations.json"
+    train_images_dir: str = "train2014"
+    test_images_dir: str = "val2014"
 
     def validate(self) -> None:
         from . import constants
@@ -99,6 +119,12 @@ class DatasetConfig:
             )
         if self.train_batch_size <= 0 or self.test_batch_size <= 0:
             raise ValueError("batch sizes must be positive")
+        if self.dataset_type not in ("daquar", "okvqa"):
+            raise ValueError(f"dataset_type={self.dataset_type!r} "
+                             f"(expected 'daquar' or 'okvqa')")
+        if self.reduced_decode not in (0, 2, 4):
+            raise ValueError(f"reduced_decode={self.reduced_decode!r} "
+                             f"(expected 0, 2 or 4)")
 
 
 @dataclass

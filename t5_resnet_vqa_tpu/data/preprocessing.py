@@ -37,10 +37,21 @@ def _native_lib():
     return loader.get_lib()
 
 
-def decode_image(path: str) -> np.ndarray:
-    """File -> RGB uint8 HWC array."""
+def decode_image(path: str, reduce: int = 0) -> np.ndarray:
+    """File -> RGB uint8 HWC array.
+
+    ``reduce`` in {2, 4} decodes at 1/2 / 1/4 scale
+    (cv2.IMREAD_REDUCED_COLOR_*): for JPEG this is libjpeg's DCT-scaled
+    decode (skips most of the IDCT work); for PNG it decodes full rows but
+    skips the full-size buffer + the later large-source resize. OPT-IN
+    (dataset_kwargs.reduced_decode): the downstream resize then starts from
+    the reduced image, so pixels differ slightly from the reference's
+    full-decode-then-resize — parity delta measured in
+    benchmarks/serving.md."""
     if _HAS_CV2:
-        arr = cv2.imread(path)
+        flag = (getattr(cv2, f"IMREAD_REDUCED_COLOR_{reduce}")
+                if reduce in (2, 4) else cv2.IMREAD_COLOR)
+        arr = cv2.imread(path, flag)
         if arr is None:
             raise FileNotFoundError(f"cannot decode image: {path}")
         return cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
@@ -52,9 +63,10 @@ def load_and_resize_image(
     path: str,
     size: Tuple[int, int],
     interpolation_strategy: str = "bilinear_interpolation",
+    reduce: int = 0,
 ) -> np.ndarray:
     """-> resized RGB uint8 [H, W, 3]."""
-    img = decode_image(path)
+    img = decode_image(path, reduce=reduce)
     w, h = size
     if _HAS_CV2:
         return cv2.resize(img, (w, h),
@@ -82,6 +94,7 @@ def load_image_batch(
     normalize: Optional[Tuple[Sequence[float], Sequence[float]]] = None,
     use_native: bool = True,
     emit_uint8: bool = False,
+    reduce: int = 0,
 ) -> np.ndarray:
     """-> [B, H, W, 3] float32 NHWC batch, or resized uint8 when
     ``emit_uint8`` (scale/normalize then happen as the model's first device
@@ -100,10 +113,11 @@ def load_image_batch(
     if emit_uint8:
         out = np.empty((len(paths), h, w, 3), np.uint8)
         for i, p in enumerate(paths):
-            out[i] = load_and_resize_image(p, size, interpolation_strategy)
+            out[i] = load_and_resize_image(p, size, interpolation_strategy,
+                                           reduce=reduce)
         return out
 
-    decoded = [decode_image(p) for p in paths]
+    decoded = [decode_image(p, reduce=reduce) for p in paths]
 
     if use_native and interpolation_strategy == "bilinear_interpolation":
         try:

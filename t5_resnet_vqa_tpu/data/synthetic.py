@@ -86,6 +86,88 @@ def make_synthetic_daquar(
     return root, dataset_kwargs
 
 
+def make_synthetic_okvqa(
+    root: str,
+    num_train: int = 16,
+    num_test: int = 8,
+    num_images: int = 6,
+    image_size: int = 64,
+    seed: int = 0,
+) -> Tuple[str, dict]:
+    """Synthetic COCO-style OK-VQA (questions/annotations JSONs +
+    ``COCO_{train,val}2014_%012d.jpg`` image naming — the layout
+    data/okvqa.py parses, reference dataset_utils/dataset.py:43-75).
+    Each annotation carries the 10-answer annotator grid."""
+    import json
+
+    from ..core import constants
+
+    rng = np.random.default_rng(seed)
+    qtypes = list(constants.QUESTION_TYPES)
+
+    def write_split(split: str, n: int, id_base: int):
+        images_dir = os.path.join(root, f"{split}2014")
+        os.makedirs(images_dir, exist_ok=True)
+        image_ids = []
+        for i in range(num_images):
+            image_id = id_base + i
+            arr = rng.integers(0, 256, size=(image_size, image_size, 3),
+                               dtype=np.uint8)
+            _write_png(os.path.join(
+                images_dir, f"COCO_{split}2014_{image_id:012d}.png"), arr)
+            image_ids.append(image_id)
+
+        questions, annotations = [], []
+        for i in range(n):
+            qid = id_base * 10 + i
+            image_id = image_ids[int(rng.integers(len(image_ids)))]
+            obj = _OBJECTS[int(rng.integers(len(_OBJECTS)))]
+            # the 10-annotator grid: a majority answer + dissenting votes
+            majority = _COLORS[int(rng.integers(len(_COLORS)))]
+            votes = [majority] * 7 + [
+                _COLORS[int(rng.integers(len(_COLORS)))] for _ in range(3)]
+            questions.append({"question": f"what color is the {obj}",
+                              "question_id": qid, "image_id": image_id})
+            annotations.append({
+                "question_id": qid, "image_id": image_id,
+                "question_type": qtypes[int(rng.integers(len(qtypes)))],
+                "answer_type": "other",
+                "answers": [{"answer": v, "answer_confidence": "yes",
+                             "answer_id": k + 1}
+                            for k, v in enumerate(votes)],
+            })
+        with open(os.path.join(
+                root, f"OpenEnded_mscoco_{split}2014_questions.json"),
+                "w") as f:
+            json.dump({"questions": questions}, f)
+        with open(os.path.join(
+                root, f"mscoco_{split}2014_annotations.json"), "w") as f:
+            json.dump({"annotations": annotations}, f)
+
+    os.makedirs(root, exist_ok=True)
+    write_split("train", num_train, 100)
+    write_split("val", num_test, 200)
+    answer_spaces = sorted(set(_COLORS + ["O"]))
+    with open(os.path.join(root, "answer_spaces.txt"), "w") as f:
+        f.write("\n".join(answer_spaces) + "\n")
+
+    dataset_kwargs = {
+        "root_data_dir": root,
+        "dataset_type": "okvqa",
+        "answer_spaces_file": "answer_spaces.txt",
+        "train_questions_json_fn": "OpenEnded_mscoco_train2014_questions.json",
+        "train_annotations_json_fn": "mscoco_train2014_annotations.json",
+        "test_questions_json_fn": "OpenEnded_mscoco_val2014_questions.json",
+        "test_annotations_json_fn": "mscoco_val2014_annotations.json",
+        "train_images_dir": "train2014",
+        "test_images_dir": "val2014",
+        "language_model_tokenizer": "t5-base",
+        "train_batch_size": 4,
+        "test_batch_size": 4,
+    }
+    return root, dataset_kwargs
+
+
 def _write_png(path: str, arr: np.ndarray) -> None:
     try:
         import cv2

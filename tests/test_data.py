@@ -1,5 +1,7 @@
 """Data layer: dataset, collates, tokenizer, prefetching pipeline."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -285,3 +287,43 @@ def test_collate_pins_answer_space_words(synth):
         first = answers[0].strip().lower()
         for w in collate.tokenizer._WORD_RE.findall(first):
             assert collate.tokenizer._word_id(w) < 1000
+
+
+def test_reduced_decode_knob(synth, tmp_path):
+    """dataset_kwargs.reduced_decode (opt-in, VERDICT r3 #1): decoding at
+    1/2 scale before the resize must stay within a couple of uint8 LSBs of
+    the reference full-decode-then-resize pixels at the model geometry, and
+    the knob must thread through collates."""
+    import cv2
+
+    from t5_resnet_vqa_tpu.data.preprocessing import decode_image
+
+    root, kw = synth
+    # a smooth 640x480 source (like a photo, unlike uniform noise whose
+    # high-frequency content a half-scale decode cannot preserve)
+    yy, xx = np.mgrid[0:480, 0:640].astype(np.float32)
+    src = np.stack([xx * 255 / 640, yy * 255 / 480,
+                    (xx + yy) * 255 / 1120], -1).astype(np.uint8)
+    path = str(tmp_path / "big.png")
+    cv2.imwrite(path, src[:, :, ::-1])
+
+    full = decode_image(path)
+    red = decode_image(path, reduce=2)
+    assert full.shape == (480, 640, 3)
+    assert red.shape == (240, 320, 3)
+
+    answers = [a.strip("\n")
+               for a in open(os.path.join(root, kw["answer_spaces_file"]))]
+    c_full = DaquarCnnCollate(answers, resizing_dimensions=(64, 64),
+                              emit_uint8=True)
+    c_red = DaquarCnnCollate(answers, resizing_dimensions=(64, 64),
+                             emit_uint8=True, reduced_decode=2)
+    a = c_full.load_images([path]).astype(np.int32)
+    b = c_red.load_images([path]).astype(np.int32)
+    assert a.shape == b.shape == (1, 64, 64, 3)
+    # smooth content: the half-scale decode stays within ~2 uint8 LSBs
+    assert np.mean(np.abs(a - b)) < 2.0
+    # default path is untouched (reference-exact)
+    c_default = DaquarCnnCollate(answers, resizing_dimensions=(64, 64),
+                                 emit_uint8=True)
+    np.testing.assert_array_equal(c_default.load_images([path]), a)
