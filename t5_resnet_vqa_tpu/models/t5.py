@@ -289,10 +289,16 @@ def causal_mask_bias(attention_mask: jnp.ndarray) -> jnp.ndarray:
 
 
 class T5Encoder(nn.Module):
-    """Encoder stack incl. shared embedding (HF T5EncoderModel parity)."""
+    """Encoder stack incl. shared embedding (HF T5EncoderModel parity).
+
+    ``embed_tokens``: pass a parent-owned nn.Embed to TIE the token table
+    with a sibling stack (T5ForConditionalGeneration shares ONE ``shared``
+    between encoder and decoder — vit_vqa parity); default None owns its
+    own table (encoder-only families, HF T5EncoderModel layout)."""
 
     config: T5Config
     dtype: Dtype = jnp.float32
+    embed_tokens: Optional[nn.Module] = None
 
     @nn.compact
     def __call__(
@@ -302,8 +308,9 @@ class T5Encoder(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         cfg = self.config
-        embed = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=self.dtype,
-                         name="shared")
+        embed = (self.embed_tokens if self.embed_tokens is not None
+                 else nn.Embed(cfg.vocab_size, cfg.d_model, dtype=self.dtype,
+                               name="shared"))
         x = embed(input_ids)
         x = nn.Dropout(cfg.dropout_rate)(x, deterministic=deterministic)
 
@@ -327,10 +334,12 @@ class T5Decoder(nn.Module):
 
     The ViT VQA model drives this with ``encoder_hidden_states`` of length 1
     (the fused image+question vector, vit_vqa_model.py:207-212).
+    ``embed_tokens`` ties the token table with the encoder (see T5Encoder).
     """
 
     config: T5Config
     dtype: Dtype = jnp.float32
+    embed_tokens: Optional[nn.Module] = None
 
     @nn.compact
     def __call__(
@@ -342,8 +351,9 @@ class T5Decoder(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         cfg = self.config
-        embed = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=self.dtype,
-                         name="shared")
+        embed = (self.embed_tokens if self.embed_tokens is not None
+                 else nn.Embed(cfg.vocab_size, cfg.d_model, dtype=self.dtype,
+                               name="shared"))
         x = embed(input_ids)
         x = nn.Dropout(cfg.dropout_rate)(x, deterministic=deterministic)
 

@@ -73,10 +73,23 @@ class VitVQAModel(nn.Module):
     def setup(self):
         self.vision_model = ViTModel(self.vit_config, dtype=self.dtype,
                                      name="vision_model")
+        # ONE token table tied across encoder and decoder, exactly like the
+        # reference's T5ForConditionalGeneration ``shared``
+        # (vit_vqa_model.py:141 from_pretrained("t5-base")): gradients from
+        # question tokens AND decoder-prompt tokens accumulate in the same
+        # table. Round 3 kept two independent copies — identical at import
+        # but drifting apart under training, a real dynamics divergence the
+        # reverse-migration exporter exposed (a trained two-table model
+        # cannot round-trip into the tied reference layout).
+        self.shared = nn.Embed(self.t5_config.vocab_size,
+                               self.t5_config.d_model, dtype=self.dtype,
+                               name="shared")
         self.lang_encoder = T5Encoder(self.t5_config, dtype=self.dtype,
-                                      name="lang_encoder")
+                                      name="lang_encoder",
+                                      embed_tokens=self.shared)
         self.lang_decoder = T5Decoder(self.t5_config, dtype=self.dtype,
-                                      name="lang_decoder")
+                                      name="lang_decoder",
+                                      embed_tokens=self.shared)
         self.fusing_layer = nn.Dense(self.t5_config.d_model, dtype=self.dtype,
                                      name="fusing_layer")
         self.classification_layer = nn.Dense(self.answer_spaces,
@@ -137,7 +150,7 @@ class VitVQAModel(nn.Module):
         generation path; the classification path uses ``__call__``."""
         dec = self.decode_hidden(decoder_input_ids, decoder_attention_mask,
                                  fused, deterministic)
-        embed = self.lang_decoder.variables["params"]["shared"]["embedding"]
+        embed = self.shared.embedding          # the tied table (see setup)
         dec = dec * (self.t5_config.d_model ** -0.5)
         return jnp.einsum("bsd,vd->bsv", dec,
                           embed.astype(dec.dtype),

@@ -32,6 +32,10 @@ DEFAULT_GROUP_MAP: Dict[str, str] = {
     "vit_embeddings": "vision",
     "lang_model": "lm_encoder",
     "lang_encoder": "lm_encoder",
+    # the tied enc+dec token table (vit family): the reference puts ALL of
+    # lang_model — shared included — under lm_encoder_lr
+    # (vit_vqa_trainer.py:308)
+    "shared": "lm_encoder",
     "roberta_embeddings": "lm_encoder",
     "lang_decoder": "lm_decoder",
     "upscale_layer": "fusion",

@@ -362,12 +362,16 @@ def _rmsnorm(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
 
 def convert_t5_encoder(sd: Mapping[str, Any], num_layers: int,
                        prefix: str = "encoder",
-                       shared_key: str = "shared.weight") -> Dict[str, Any]:
-    """HF T5 encoder state dict -> models.t5.T5Encoder params."""
+                       shared_key: str = "shared.weight",
+                       include_shared: bool = True) -> Dict[str, Any]:
+    """HF T5 encoder state dict -> models.t5.T5Encoder params.
+    ``include_shared=False`` for stacks whose token table is tied at the
+    parent (VitVQAModel's top-level ``shared``)."""
     params: Dict[str, Any] = {
-        "shared": {"embedding": _np(sd[shared_key])},
         "final_layer_norm": _rmsnorm(sd, f"{prefix}.final_layer_norm"),
     }
+    if include_shared:
+        params["shared"] = {"embedding": _np(sd[shared_key])}
     for i in range(num_layers):
         b = f"{prefix}.block.{i}"
         params[f"block_{i}"] = {
@@ -385,12 +389,14 @@ def convert_t5_encoder(sd: Mapping[str, Any], num_layers: int,
 
 def convert_t5_decoder(sd: Mapping[str, Any], num_layers: int,
                        prefix: str = "decoder",
-                       shared_key: str = "shared.weight") -> Dict[str, Any]:
+                       shared_key: str = "shared.weight",
+                       include_shared: bool = True) -> Dict[str, Any]:
     """HF T5 decoder state dict -> models.t5.T5Decoder params."""
     params: Dict[str, Any] = {
-        "shared": {"embedding": _np(sd[shared_key])},
         "final_layer_norm": _rmsnorm(sd, f"{prefix}.final_layer_norm"),
     }
+    if include_shared:
+        params["shared"] = {"embedding": _np(sd[shared_key])}
     for i in range(num_layers):
         b = f"{prefix}.block.{i}"
         params[f"block_{i}"] = {
@@ -444,12 +450,14 @@ def convert_vit_vqa_checkpoint(sd: Mapping[str, Any],
     return {
         "vision_model": convert_vit(sd, num_vit_layers,
                                     prefix="vision_model"),
+        # ONE tied table, like the reference's T5ForConditionalGeneration
+        "shared": {"embedding": _np(sd["lang_model.shared.weight"])},
         "lang_encoder": convert_t5_encoder(
             sd, num_t5_layers, prefix="lang_model.encoder",
-            shared_key="lang_model.shared.weight"),
+            include_shared=False),
         "lang_decoder": convert_t5_decoder(
             sd, num_t5_layers, prefix="lang_model.decoder",
-            shared_key="lang_model.shared.weight"),
+            include_shared=False),
         "fusing_layer": linear(sd, "fusing_layer.0"),
         "classification_layer": linear(sd, "classification_layer"),
     }

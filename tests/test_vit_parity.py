@@ -132,8 +132,12 @@ def test_vit_vqa_full_parity(rng):
     sd = hf_t5.state_dict()
     params = {"params": jax.tree.map(jnp.asarray, {
         "vision_model": tc.convert_vit(hf_vit.state_dict(), vit_cfg.num_layers),
-        "lang_encoder": tc.convert_t5_encoder(sd, t5_cfg.num_layers),
-        "lang_decoder": tc.convert_t5_decoder(sd, t5_cfg.num_decoder_layers),
+        # ONE tied table at the top, like the model (and the reference)
+        "shared": {"embedding": np.asarray(sd["shared.weight"])},
+        "lang_encoder": tc.convert_t5_encoder(sd, t5_cfg.num_layers,
+                                              include_shared=False),
+        "lang_decoder": tc.convert_t5_decoder(sd, t5_cfg.num_decoder_layers,
+                                              include_shared=False),
         "fusing_layer": tc.linear(fuse.state_dict(), ""),
         "classification_layer": tc.linear(cls.state_dict(), ""),
     })}
