@@ -15,6 +15,13 @@ contract at that real duration on the actual chip (VERDICT r2 next #3):
            -> benchmarks/soak_60_epochs.md + soak_60_epochs.json.
 
 Usage: python benchmarks/soak_60_epochs.py [--epochs 60] [--sigint-epoch 15]
+                                            [--family cnn|vit]
+
+``--family vit`` runs the same protocol through `train_vit_vqa.py`
+(ViT-base + T5-base enc-dec, B=64 — the family's measured serving/training
+sweet spot — adaptive token lengths + ViT feature cache on), reporting to
+soak_vit_60_epochs.{json,md} (VERDICT r3 next #6: the endurance evidence
+covered only the CNN family).
 """
 
 import argparse
@@ -29,8 +36,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 ROOT = "/tmp/soak_daquar"
+# per-family paths set in main() (the two soaks must not clobber each other)
 OUT = "/tmp/soak_out"
 CFG = "/tmp/soak_config.json"
+FAMILY = "cnn"
+ENTRY = "train_faster_rcnn_vqa.py"
 
 
 def log(*a):
@@ -50,15 +60,24 @@ def build_dataset():
 
 
 def write_config(epochs):
+    if FAMILY == "vit":
+        model_kwargs = {
+            "vision_model_name": "google/vit-base-patch16-224-in21k",
+            "language_model_name": "t5-base",
+            "compute_dtype": "bfloat16"}
+        train_b = test_b = 64      # ViT-family sweet spot (vit_forward.md)
+    else:
+        model_kwargs = {"vision_model_name": "resnet50",
+                        "language_model_name": "t5-base",
+                        "compute_dtype": "bfloat16"}
+        train_b = test_b = 128
     cfg = {
-        "model_kwargs": {"vision_model_name": "resnet50",
-                         "language_model_name": "t5-base",
-                         "compute_dtype": "bfloat16"},
+        "model_kwargs": model_kwargs,
         "dataset_kwargs": {
             "root_data_dir": ROOT, "train_csv_file": "train.csv",
             "test_csv_file": "test.csv", "images_dir": "images",
             "answer_spaces_file": "answer_spaces.txt",
-            "train_batch_size": 128, "test_batch_size": 128,
+            "train_batch_size": train_b, "test_batch_size": test_b,
             "image_size": 256,
         },
         "trainer_kwargs": {"epochs": epochs, "device": "tpu",
@@ -94,8 +113,7 @@ def write_config(epochs):
 
 
 def run_phase(tag, sigint_epoch=None, resume=False, timeout=7200):
-    args = [sys.executable, os.path.join(REPO, "train_faster_rcnn_vqa.py"),
-            "--config", CFG]
+    args = [sys.executable, os.path.join(REPO, ENTRY), "--config", CFG]
     if resume:
         args += ["--set", "trainer_kwargs.load_from_checkpoint=true"]
     log(f"[{tag}] launching: {' '.join(args[1:])}")
@@ -156,8 +174,9 @@ def write_report(args, out1, wall1, rc1, out2, wall2, rc2, final_saved):
         "train_curve": train,
         "valid_curve": valid,
     }
-    with open(os.path.join(REPO, "benchmarks", "soak_60_epochs.json"),
-              "w") as f:
+    name = ("soak_vit_60_epochs.json" if FAMILY == "vit"
+            else "soak_60_epochs.json")
+    with open(os.path.join(REPO, "benchmarks", name), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({k: v for k, v in report.items()
                       if not k.endswith("curve")}, indent=1))
@@ -167,11 +186,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--sigint-epoch", type=int, default=15)
+    ap.add_argument("--family", choices=("cnn", "vit"), default="cnn")
     ap.add_argument("--report-only", action="store_true",
                     help="regenerate the report from an existing run's "
                          "training logs + metrics.jsonl (e.g. after the "
                          "runner was interrupted but the trainer finished)")
     args = ap.parse_args()
+
+    global FAMILY, ENTRY, OUT, CFG
+    FAMILY = args.family
+    if FAMILY == "vit":
+        ENTRY = "train_vit_vqa.py"
+        OUT = "/tmp/soak_vit_out"
+        CFG = "/tmp/soak_vit_config.json"
 
     if args.report_only:
         # reconstruct the phase outputs from the persisted training logs
