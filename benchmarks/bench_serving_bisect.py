@@ -26,6 +26,11 @@ bench used 224^2 files on disk, understating the decode+resize wall).
 
 Usage: python benchmarks/bench_serving_bisect.py [batch] [family]
        family in {cnn, vit} (default cnn = the flagship)
+       "host" as the family runs HOST-ONLY (forces the CPU platform, no
+       session/device segments): decode/resize/tokenize/collate timings for
+       every variant (png/jpg x full/reduced) + pixel parity — the decode
+       wall is pure host work, so this mode carries the bisect even when
+       the TPU tunnel is down.
 """
 
 import json
@@ -55,7 +60,131 @@ def _timeit(fn, rounds=ROUNDS):
     return min(times)
 
 
+def _corpus(B):
+    """640x480 PNG corpus + a JPEG-90 twin.
+
+    Images are PHOTO-LIKE (smooth low-frequency base + a few hard-edged
+    shapes + mild sensor noise), not uniform noise: noise is pathological
+    for both codecs (JPEG-90 of noise decodes SLOWER than PNG and reduced
+    decode loses ~30 LSB; real indoor photos are piecewise smooth, which is
+    what DAQUAR/NYU-Depth frames are)."""
+    import cv2
+
+    from t5_resnet_vqa_tpu.data.synthetic import make_synthetic_daquar
+
+    root, kw = make_synthetic_daquar(
+        "/tmp/serve_bisect_daquar", num_train=2, num_test=B, num_images=B,
+        image_size=256, source_hw=(480, 640))
+    answers = [a.strip() for a in
+               open(os.path.join(root, kw["answer_spaces_file"]))]
+    images_dir = os.path.join(root, kw["images_dir"])
+    png_paths = sorted(os.path.join(images_dir, f)
+                       for f in os.listdir(images_dir))[:B]
+    # overwrite the synthetic noise frames with photo-like content
+    rng = np.random.default_rng(0)
+    for p in png_paths:
+        base = rng.integers(0, 256, size=(30, 40, 3), dtype=np.uint8)
+        img = cv2.resize(base, (640, 480),
+                         interpolation=cv2.INTER_CUBIC)   # smooth base
+        for _ in range(12):                               # furniture-ish
+            x0, y0 = rng.integers(0, 600), rng.integers(0, 440)
+            w, h = rng.integers(20, 200), rng.integers(20, 160)
+            color = tuple(int(c) for c in rng.integers(0, 256, 3))
+            cv2.rectangle(img, (int(x0), int(y0)),
+                          (int(x0 + w), int(y0 + h)), color, -1)
+        noise = rng.normal(0, 2.0, img.shape)             # mild sensor noise
+        img = np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+        cv2.imwrite(p, img[:, :, ::-1])
+    jpg_dir = os.path.join(root, "images_jpg")
+    os.makedirs(jpg_dir, exist_ok=True)
+    jpg_paths = []
+    for p in png_paths:
+        q = os.path.join(jpg_dir, os.path.basename(p).replace(".png", ".jpg"))
+        if not os.path.exists(q):
+            cv2.imwrite(q, cv2.imread(p), [cv2.IMWRITE_JPEG_QUALITY, 90])
+        jpg_paths.append(q)
+    return answers, png_paths, jpg_paths
+
+
+def host_only(B):
+    """Host-segment bisect + variant sweep, no device required."""
+    import cv2
+
+    from t5_resnet_vqa_tpu.data.collate import DaquarCnnCollate
+    from t5_resnet_vqa_tpu.data.preprocessing import decode_image
+
+    answers, png_paths, jpg_paths = _corpus(B)
+    target_hw = 256
+
+    seg = {}
+    decoded = [decode_image(p) for p in png_paths]
+    seg["decode_png_ms"] = _timeit(
+        lambda: [decode_image(p) for p in png_paths]) * 1e3
+    seg["decode_jpg_ms"] = _timeit(
+        lambda: [decode_image(p) for p in jpg_paths]) * 1e3
+
+    def resize_pack():
+        out = np.empty((B, target_hw, target_hw, 3), np.uint8)
+        for i, img in enumerate(decoded):
+            out[i] = cv2.resize(img, (target_hw, target_hw),
+                                interpolation=cv2.INTER_LINEAR)
+        return out
+    seg["resize_pack_ms"] = _timeit(resize_pack) * 1e3
+
+    collate = DaquarCnnCollate(answers, resizing_dimensions=(256, 256),
+                               eval_mode=True, emit_uint8=True)
+    texts = [f"what is on the table {i}?" for i in range(B)]
+    seg["tokenize_ms"] = _timeit(
+        lambda: collate.tokenizer(texts, 16)) * 1e3
+
+    variants = {}
+    for tag, reduced, paths in [("png_full", 0, png_paths),
+                                ("png_reduced2", 2, png_paths),
+                                ("png_reduced4", 4, png_paths),
+                                ("jpg_full", 0, jpg_paths),
+                                ("jpg_reduced2", 2, jpg_paths),
+                                ("jpg_reduced4", 4, jpg_paths)]:
+        c = DaquarCnnCollate(answers, resizing_dimensions=(256, 256),
+                             eval_mode=True, emit_uint8=True,
+                             reduced_decode=reduced)
+        dt = _timeit(lambda: c.load_images(paths))
+        variants[tag] = {"ms_per_batch": round(dt * 1e3, 1),
+                         "images_per_sec": round(B / dt, 1)}
+        log(f"{tag}: {dt * 1e3:.1f} ms/batch({B}) = {B / dt:.0f} images/s")
+
+    # pixel parity deltas vs the reference-exact png_full pixels
+    base = DaquarCnnCollate(answers, resizing_dimensions=(256, 256),
+                            eval_mode=True,
+                            emit_uint8=True).load_images(png_paths[:8])
+    base = base.astype(np.int32)
+    pix = {}
+    for tag, reduced, paths in [("png_reduced2", 2, png_paths),
+                                ("jpg_full", 0, jpg_paths),
+                                ("jpg_reduced2", 2, jpg_paths)]:
+        c = DaquarCnnCollate(answers, resizing_dimensions=(256, 256),
+                             eval_mode=True, emit_uint8=True,
+                             reduced_decode=reduced)
+        d = np.abs(c.load_images(paths[:8]).astype(np.int32) - base)
+        pix[tag] = {"mean_abs_lsb": round(float(d.mean()), 3),
+                    "p99_abs_lsb": round(float(np.percentile(d, 99)), 1)}
+    log(f"pixel deltas vs png_full: {pix}")
+
+    print(json.dumps({"bench": "serving_bisect_host_only", "batch": B,
+                      "segments_ms": {k: round(v, 2)
+                                      for k, v in seg.items()},
+                      "variants": variants, "pixel_delta": pix}))
+
+
 def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    family = sys.argv[2] if len(sys.argv) > 2 else "cnn"
+
+    if family == "host":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        host_only(B)
+        return
+
     import cv2
     import jax
     import jax.numpy as jnp
@@ -68,9 +197,6 @@ def main():
     float(jnp.ones(()).sum())
     log(f"tunnel warmup: {time.time() - t0:.1f}s "
         f"(device: {jax.devices()[0].platform})")
-
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    family = sys.argv[2] if len(sys.argv) > 2 else "cnn"
 
     # 640x480 sources: real DAQUAR frame geometry
     root, kw = make_synthetic_daquar(
