@@ -93,14 +93,26 @@ class VQAInferenceSession:
             tokenizer = get_tokenizer(
                 config.dataset.language_model_tokenizer,
                 tokenizer_file=config.dataset.tokenizer_file)
-        return cls(model, params, answer_spaces, family,
-                   batch_size=batch_size,
-                   image_size=config.dataset.image_size,
-                   interpolation_strategy=config.dataset.interpolation_strategy,
-                   lang_model=config.dataset.language_model_tokenizer,
-                   tokenizer=tokenizer,
-                   uint8_wire=config.dataset.uint8_wire_images,
-                   reduced_decode=config.dataset.reduced_decode)
+        session = cls(model, params, answer_spaces, family,
+                      batch_size=batch_size,
+                      image_size=config.dataset.image_size,
+                      interpolation_strategy=config.dataset.interpolation_strategy,
+                      lang_model=config.dataset.language_model_tokenizer,
+                      tokenizer=tokenizer,
+                      uint8_wire=config.dataset.uint8_wire_images,
+                      reduced_decode=config.dataset.reduced_decode)
+        # same id-layout guard as the trainer's resume: serving a
+        # checkpoint under a different tokenizer scheme would scramble
+        # every question's token ids silently
+        saved = info.get("tokenizer_scheme")
+        scheme = getattr(session.collate.tokenizer, "scheme", "unknown")
+        if saved is not None and saved != scheme:
+            raise ValueError(
+                f"Tokenizer scheme mismatch: checkpoint was trained with "
+                f"{saved!r} but this session tokenizes with {scheme!r}. "
+                f"Point dataset_kwargs at the original tokenizer "
+                f"(tokenizer_file / language_model_tokenizer).")
+        return session
 
     def ask(self, image: str, question: str, top_k: int = 1) -> dict:
         """Single-request convenience wrapper (pads to the compiled batch)."""
