@@ -124,13 +124,15 @@ class DaquarCnnCollate(DaquarCollateBase):
                                       constants.CNN_IMAGE_SIZE),
                  lang_model: str = "t5-base", eval_mode: bool = False,
                  seed: int = 0, tokenizer=None, use_native: bool = True,
-                 emit_uint8: bool = False, reduced_decode: int = 0):
+                 emit_uint8: bool = False, reduced_decode: int = 0,
+                 num_workers: int = 0):
         super().__init__(answer_spaces, lang_model, eval_mode, seed, tokenizer)
         self.interpolation_strategy = interpolation_strategy
         self.resizing_dimensions = tuple(resizing_dimensions)
         self.use_native = use_native
         self.emit_uint8 = emit_uint8
         self.reduced_decode = reduced_decode
+        self.num_workers = num_workers
 
     def load_images(self, paths: Sequence[str]) -> np.ndarray:
         """The collate's exact image pipeline for a list of paths —
@@ -143,7 +145,7 @@ class DaquarCnnCollate(DaquarCollateBase):
             list(paths), self.resizing_dimensions,
             self.interpolation_strategy, normalize=None,
             use_native=self.use_native, emit_uint8=self.emit_uint8,
-            reduce=self.reduced_decode)
+            reduce=self.reduced_decode, workers=self.num_workers)
 
     def __call__(self, samples: Sequence[Sample]) -> Dict[str, np.ndarray]:
         images = (self.load_images([s.image_path for s in samples])
@@ -162,11 +164,13 @@ class DaquarVitCollate(DaquarCollateBase):
     def __init__(self, answer_spaces: Sequence[str],
                  lang_model: str = "t5-base", eval_mode: bool = False,
                  seed: int = 0, tokenizer=None, use_native: bool = True,
-                 emit_uint8: bool = False, reduced_decode: int = 0):
+                 emit_uint8: bool = False, reduced_decode: int = 0,
+                 num_workers: int = 0):
         super().__init__(answer_spaces, lang_model, eval_mode, seed, tokenizer)
         self.use_native = use_native
         self.emit_uint8 = emit_uint8
         self.reduced_decode = reduced_decode
+        self.num_workers = num_workers
 
     def load_images(self, paths: Sequence[str]) -> np.ndarray:
         # emit_uint8 defers the rescale+normalize to the model's first
@@ -178,7 +182,7 @@ class DaquarVitCollate(DaquarCollateBase):
             "bilinear_interpolation",
             normalize=(self.VIT_MEAN, self.VIT_STD),
             use_native=self.use_native, emit_uint8=self.emit_uint8,
-            reduce=self.reduced_decode)
+            reduce=self.reduced_decode, workers=self.num_workers)
 
     def __call__(self, samples: Sequence[Sample]) -> Dict[str, np.ndarray]:
         images = (self.load_images([s.image_path for s in samples])

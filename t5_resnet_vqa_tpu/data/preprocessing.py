@@ -95,6 +95,7 @@ def load_image_batch(
     use_native: bool = True,
     emit_uint8: bool = False,
     reduce: int = 0,
+    workers: int = 0,
 ) -> np.ndarray:
     """-> [B, H, W, 3] float32 NHWC batch, or resized uint8 when
     ``emit_uint8`` (scale/normalize then happen as the model's first device
@@ -110,14 +111,30 @@ def load_image_batch(
     and cv2's SIMD uint8 resize is the fastest host option."""
     w, h = size
 
+    # workers > 1: thread-pool the per-image decode(+resize). Image decode
+    # is 96% of the serving host path at real frame geometry
+    # (benchmarks/serving.md) and cv2 releases the GIL inside
+    # imread/resize, so this scales near-linearly with cores on multi-core
+    # hosts (this image has 1 core — dataset_kwargs.num_workers, which the
+    # reference accepts for its torch DataLoader but runs at 0, stays 0 by
+    # default).
+    def _map(fn, items):
+        if workers and workers > 1 and len(items) > 1:
+            import concurrent.futures
+            with concurrent.futures.ThreadPoolExecutor(
+                    min(workers, len(items))) as pool:
+                return list(pool.map(fn, items))
+        return [fn(p) for p in items]
+
     if emit_uint8:
+        resized = _map(lambda p: load_and_resize_image(
+            p, size, interpolation_strategy, reduce=reduce), list(paths))
         out = np.empty((len(paths), h, w, 3), np.uint8)
-        for i, p in enumerate(paths):
-            out[i] = load_and_resize_image(p, size, interpolation_strategy,
-                                           reduce=reduce)
+        for i, r in enumerate(resized):
+            out[i] = r
         return out
 
-    decoded = [decode_image(p, reduce=reduce) for p in paths]
+    decoded = _map(lambda p: decode_image(p, reduce=reduce), list(paths))
 
     if use_native and interpolation_strategy == "bilinear_interpolation":
         try:

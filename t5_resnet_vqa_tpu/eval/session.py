@@ -40,7 +40,8 @@ class VQAInferenceSession:
                  family: str, batch_size: int = 8, image_size: int = 256,
                  interpolation_strategy: str = "bilinear_interpolation",
                  lang_model: str = "t5-base", tokenizer=None,
-                 uint8_wire: bool = True, reduced_decode: int = 0):
+                 uint8_wire: bool = True, reduced_decode: int = 0,
+                 num_workers: int = 0):
         from ..train.factory import CNN_FAMILY  # avoid import cycle
 
         self.answer_spaces = list(answer_spaces)
@@ -50,12 +51,13 @@ class VQAInferenceSession:
                 self.answer_spaces, interpolation_strategy,
                 resizing_dimensions=(image_size, image_size),
                 lang_model=lang_model, eval_mode=True, tokenizer=tokenizer,
-                emit_uint8=uint8_wire, reduced_decode=reduced_decode)
+                emit_uint8=uint8_wire, reduced_decode=reduced_decode,
+                num_workers=num_workers)
         else:
             self.collate = DaquarVitCollate(
                 self.answer_spaces, lang_model=lang_model, eval_mode=True,
                 tokenizer=tokenizer, emit_uint8=uint8_wire,
-                reduced_decode=reduced_decode)
+                reduced_decode=reduced_decode, num_workers=num_workers)
 
         def predict(p, batch):
             log_probs, _ = model.apply({"params": p}, **batch,
@@ -100,7 +102,8 @@ class VQAInferenceSession:
                       lang_model=config.dataset.language_model_tokenizer,
                       tokenizer=tokenizer,
                       uint8_wire=config.dataset.uint8_wire_images,
-                      reduced_decode=config.dataset.reduced_decode)
+                      reduced_decode=config.dataset.reduced_decode,
+                      num_workers=config.dataset.num_workers)
         # same id-layout guard as the trainer's resume: serving a
         # checkpoint under a different tokenizer scheme would scramble
         # every question's token ids silently

@@ -269,7 +269,8 @@ class VQATrainer:
                 lang_model=dk.language_model_tokenizer, seed=seed,
                 tokenizer=tokenizer, use_native=dk.use_native_preprocessor,
                 emit_uint8=dk.uint8_wire_images,
-                reduced_decode=dk.reduced_decode)
+                reduced_decode=dk.reduced_decode,
+                num_workers=dk.num_workers)
             test_collate = DaquarCnnCollate(
                 self.answer_spaces, dk.interpolation_strategy,
                 resizing_dimensions=dims,
@@ -277,20 +278,23 @@ class VQATrainer:
                 seed=seed, tokenizer=tokenizer,
                 use_native=dk.use_native_preprocessor,
                 emit_uint8=dk.uint8_wire_images,
-                reduced_decode=dk.reduced_decode)
+                reduced_decode=dk.reduced_decode,
+                num_workers=dk.num_workers)
         else:
             train_collate = DaquarVitCollate(
                 self.answer_spaces, lang_model=dk.language_model_tokenizer,
                 seed=seed, tokenizer=tokenizer,
                 use_native=dk.use_native_preprocessor,
                 emit_uint8=dk.uint8_wire_images,
-                reduced_decode=dk.reduced_decode)
+                reduced_decode=dk.reduced_decode,
+                num_workers=dk.num_workers)
             test_collate = DaquarVitCollate(
                 self.answer_spaces, lang_model=dk.language_model_tokenizer,
                 eval_mode=True, seed=seed, tokenizer=tokenizer,
                 use_native=dk.use_native_preprocessor,
                 emit_uint8=dk.uint8_wire_images,
-                reduced_decode=dk.reduced_decode)
+                reduced_decode=dk.reduced_decode,
+                num_workers=dk.num_workers)
 
         if dk.adaptive_question_len and self.family == VIT_FAMILY:
             # ViT family ONLY: its text path reads token-0 (pads are masked

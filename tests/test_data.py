@@ -327,3 +327,22 @@ def test_reduced_decode_knob(synth, tmp_path):
     c_default = DaquarCnnCollate(answers, resizing_dimensions=(64, 64),
                                  emit_uint8=True)
     np.testing.assert_array_equal(c_default.load_images([path]), a)
+
+
+def test_num_workers_decode_identical(synth):
+    """dataset_kwargs.num_workers > 1 thread-pools the per-image decode
+    (the serving host wall, benchmarks/serving.md); output must be
+    bit-identical to the serial path in every wire format."""
+    root, kw = synth
+    images_dir = os.path.join(root, kw["images_dir"])
+    paths = sorted(os.path.join(images_dir, f)
+                   for f in os.listdir(images_dir))
+    answers = [a.strip("\n")
+               for a in open(os.path.join(root, kw["answer_spaces_file"]))]
+    for emit_uint8 in (True, False):
+        serial = DaquarCnnCollate(answers, resizing_dimensions=(64, 64),
+                                  emit_uint8=emit_uint8, num_workers=0)
+        pooled = DaquarCnnCollate(answers, resizing_dimensions=(64, 64),
+                                  emit_uint8=emit_uint8, num_workers=4)
+        np.testing.assert_array_equal(serial.load_images(paths),
+                                      pooled.load_images(paths))
