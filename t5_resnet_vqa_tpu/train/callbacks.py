@@ -175,18 +175,34 @@ class CheckpointManager:
                                        mixed-lineage hazard) — discard it and
                                        keep the previous consistent pair.
 
-        Live saves are excluded: while the worker is mid-write (``_writing``),
-        a concurrent exists()/restore() must neither adopt nor discard half
-        of an in-flight pair."""
+        Live saves are excluded: while a writer is mid-pair-write, a
+        concurrent exists()/restore() must neither adopt nor discard half of
+        an in-flight pair. In-process writers are visible via ``_writing``;
+        writers in OTHER processes (a second trainer would be misuse, but a
+        recovery sweep from serving/eval/import on a live output_dir is
+        exactly the advisor's scenario) hold an flock on ``pair.lock`` for
+        the WHOLE write+swap — if we cannot acquire it, a live writer owns
+        the pair and recovery must leave everything alone (without this, a
+        reader discarding the writer's completed params ``.next`` mid-window
+        would let the subsequent state swap publish OLD params beside NEW
+        optimizer state)."""
         a, b = self.PAIRED
         if self._writing & set(self.PAIRED):
             return
-        a_next = self._path(a) + ".next"
-        b_next = self._path(b) + ".next"
-        if not os.path.isdir(b_next) and os.path.isdir(a_next):
-            shutil.rmtree(a_next)
-        self._recover_one_locked(a)
-        self._recover_one_locked(b)
+        fd = os.open(self._pair_lock_path(), os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                return                      # live pair writer elsewhere
+            a_next = self._path(a) + ".next"
+            b_next = self._path(b) + ".next"
+            if not os.path.isdir(b_next) and os.path.isdir(a_next):
+                shutil.rmtree(a_next)
+            self._recover_one_locked(a)
+            self._recover_one_locked(b)
+        finally:
+            os.close(fd)                    # releases the flock if held
 
     def _clean_strays(self, name: str) -> None:
         # incomplete Orbax tmp dirs from killed writes (both the current
@@ -230,13 +246,20 @@ class CheckpointManager:
         if on_complete is not None:
             on_complete()
 
+    def _pair_lock_path(self) -> str:
+        return os.path.join(self.output_dir, "pair.lock")
+
     def _save_pair_sync(self, tree_a: Any, tree_b: Any,
                         on_complete: Optional[Any] = None) -> None:
         """Save the checkpoint-model/state_dict_checkpoint PAIR atomically:
         both ``.next`` dirs land on disk before either swap, and both swaps
         happen under one lock hold, so no kill point (nor any concurrent
         recovery) can publish a params/optimizer pair from two different
-        training points. See _recover_pair_locked for the crash windows."""
+        training points. The ``pair.lock`` flock is held for the whole
+        write+swap so OTHER PROCESSES' recovery sweeps cannot mistake the
+        in-flight lone params ``.next`` for crash debris (flock dies with
+        the process — a killed writer never blocks later recovery). See
+        _recover_pair_locked for the crash windows."""
         a, b = self.PAIRED
         with self._guard():
             self._recover_pair_locked()
@@ -244,13 +267,16 @@ class CheckpointManager:
         self._clean_strays(b)
         with self._swap_lock:
             self._writing.update(self.PAIRED)
+        fd = os.open(self._pair_lock_path(), os.O_CREAT | os.O_RDWR, 0o644)
         try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
             self._write_next(a, tree_a)   # params first,
             self._write_next(b, tree_b)   # state last (the commit record)
             with self._guard():
                 self._swap_locked(a)
                 self._swap_locked(b)
         finally:
+            os.close(fd)
             with self._swap_lock:
                 self._writing.difference_update(self.PAIRED)
         if on_complete is not None:

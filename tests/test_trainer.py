@@ -673,6 +673,46 @@ def test_cross_process_guard_serializes_concurrent_managers(tmp_path):
     assert _tree_val(a, "best-model") == 14.0
 
 
+def test_pair_recovery_skips_live_writer(tmp_path):
+    """A recovery sweep from ANOTHER process (serving/eval/import on a live
+    output_dir) must not mistake a pair writer's in-flight lone params
+    .next for crash debris: while ``pair.lock`` is flocked (as the writer
+    holds it for the whole write+swap), pair recovery leaves everything
+    untouched; once released (writer died), the lone .next is discarded."""
+    import fcntl
+
+    import orbax.checkpoint as ocp
+
+    from t5_resnet_vqa_tpu.train.callbacks import CheckpointManager
+
+    cm = CheckpointManager(str(tmp_path))
+    _save_pair_vals(cm, 1.0, 1.0)
+    side = ocp.StandardCheckpointer()
+    side.save(cm._path("checkpoint-model") + ".next",
+              {"w": np.full((2,), 2.0, np.float32)})
+    side.wait_until_finished()
+
+    # simulate the live writer: hold the pair lock on a separate fd
+    # (flock conflicts across fds exactly as across processes)
+    writer_fd = os.open(cm._pair_lock_path(), os.O_CREAT | os.O_RDWR, 0o644)
+    fcntl.flock(writer_fd, fcntl.LOCK_EX)
+    try:
+        reader = CheckpointManager(str(tmp_path))
+        assert reader.exists("checkpoint-model")       # recovery ran...
+        assert os.path.isdir(cm._path("checkpoint-model") + ".next"), \
+            "recovery discarded a live writer's in-flight .next"
+        assert _pair_vals(reader) == (1.0, 1.0)        # ...and kept the pair
+    finally:
+        fcntl.flock(writer_fd, fcntl.LOCK_UN)
+        os.close(writer_fd)
+
+    # writer gone (killed): the half-written pair is now crash debris
+    fresh = CheckpointManager(str(tmp_path))
+    assert fresh.exists("checkpoint-model")
+    assert not os.path.isdir(fresh._path("checkpoint-model") + ".next")
+    assert _pair_vals(fresh) == (1.0, 1.0)
+
+
 def test_pair_save_dying_mid_state_write_preserves_old_pair(tmp_path):
     """A save_pair whose STATE write dies (after the params .next landed)
     must leave the previous pair fully intact — end-to-end version of the
