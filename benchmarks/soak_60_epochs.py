@@ -47,30 +47,39 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_dataset():
+def build_dataset(tiny=False):
     from t5_resnet_vqa_tpu.data.synthetic import make_synthetic_daquar
     if os.path.exists(os.path.join(ROOT, "train.csv")):
         log("dataset exists, reusing")
         return
     t0 = time.time()
-    make_synthetic_daquar(ROOT, num_train=6795, num_test=5673,
-                          num_images=1449, image_size=256,
-                          source_hw=(480, 640), seed=0)
+    if tiny:   # --tiny smoke: plumbing-only, runs on CPU in minutes
+        make_synthetic_daquar(ROOT, num_train=32, num_test=16,
+                              num_images=8, image_size=64, seed=0)
+    else:
+        make_synthetic_daquar(ROOT, num_train=6795, num_test=5673,
+                              num_images=1449, image_size=256,
+                              source_hw=(480, 640), seed=0)
     log(f"dataset built in {time.time() - t0:.0f}s")
 
 
-def write_config(epochs):
+def write_config(epochs, device="tpu", tiny=False):
     if FAMILY == "vit":
         model_kwargs = {
             "vision_model_name": "google/vit-base-patch16-224-in21k",
             "language_model_name": "t5-base",
             "compute_dtype": "bfloat16"}
         train_b = test_b = 64      # ViT-family sweet spot (vit_forward.md)
+        if tiny:
+            model_kwargs.update(
+                vision_model_name="google/vit-base-patch16-224-in21k")
     else:
         model_kwargs = {"vision_model_name": "resnet50",
                         "language_model_name": "t5-base",
                         "compute_dtype": "bfloat16"}
         train_b = test_b = 128
+    if tiny:
+        train_b = test_b = 8
     cfg = {
         "model_kwargs": model_kwargs,
         "dataset_kwargs": {
@@ -78,9 +87,9 @@ def write_config(epochs):
             "test_csv_file": "test.csv", "images_dir": "images",
             "answer_spaces_file": "answer_spaces.txt",
             "train_batch_size": train_b, "test_batch_size": test_b,
-            "image_size": 256,
+            "image_size": 64 if tiny else 256,
         },
-        "trainer_kwargs": {"epochs": epochs, "device": "tpu",
+        "trainer_kwargs": {"epochs": epochs, "device": device,
                            "output_dir": OUT, "gradient_clipping": 1.0,
                            "load_from_checkpoint": False,
                            "monitor_train": True, "monitor_val": True,
@@ -142,6 +151,9 @@ def run_phase(tag, sigint_epoch=None, resume=False, timeout=7200):
     return "".join(lines), wall, rc
 
 
+TINY = False
+
+
 def write_report(args, out1, wall1, rc1, out2, wall2, rc2, final_saved):
     rows = [json.loads(l) for l in open(os.path.join(OUT, "metrics.jsonl"))]
     logs = [r for r in rows if r.get("_event") == "log"]
@@ -176,6 +188,8 @@ def write_report(args, out1, wall1, rc1, out2, wall2, rc2, final_saved):
     }
     name = ("soak_vit_60_epochs.json" if FAMILY == "vit"
             else "soak_60_epochs.json")
+    if TINY:   # smoke runs must not masquerade as real soak artifacts
+        name = name.replace(".json", "_tiny_smoke.json")
     with open(os.path.join(REPO, "benchmarks", name), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({k: v for k, v in report.items()
@@ -187,18 +201,27 @@ def main():
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--sigint-epoch", type=int, default=15)
     ap.add_argument("--family", choices=("cnn", "vit"), default="cnn")
+    ap.add_argument("--device", default="tpu")
+    ap.add_argument("--tiny", action="store_true",
+                    help="plumbing smoke: tiny dataset/model geometry "
+                         "(pair with --device cpu --epochs 3)")
     ap.add_argument("--report-only", action="store_true",
                     help="regenerate the report from an existing run's "
                          "training logs + metrics.jsonl (e.g. after the "
                          "runner was interrupted but the trainer finished)")
     args = ap.parse_args()
 
-    global FAMILY, ENTRY, OUT, CFG
+    global FAMILY, ENTRY, OUT, CFG, ROOT, TINY
+    TINY = args.tiny
     FAMILY = args.family
     if FAMILY == "vit":
         ENTRY = "train_vit_vqa.py"
         OUT = "/tmp/soak_vit_out"
         CFG = "/tmp/soak_vit_config.json"
+    if args.tiny:   # never pollute the full-scale dataset/output dirs
+        ROOT = "/tmp/soak_tiny_daquar"
+        OUT = OUT + "_tiny"
+        CFG = CFG.replace(".json", "_tiny.json")
 
     if args.report_only:
         # reconstruct the phase outputs from the persisted training logs
@@ -212,8 +235,8 @@ def main():
         write_report(args, out1, -1, -1, out2, -1, -1, final_saved)
         return
 
-    build_dataset()
-    write_config(args.epochs)
+    build_dataset(tiny=args.tiny)
+    write_config(args.epochs, device=args.device, tiny=args.tiny)
     import shutil
     shutil.rmtree(OUT, ignore_errors=True)
 
