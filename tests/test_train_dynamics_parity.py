@@ -189,3 +189,153 @@ def test_train_dynamics_parity(rng):
     np.testing.assert_allclose(
         np.asarray(params["attention_pooler"]["attention"]["kernel"]),
         want_pool, rtol=5e-3, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# ViT enc-dec family: the tied-shared-table dynamics proof (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _torch_vit_golden_forward(hf_vit, hf_t5, fuse, cls_lin,
+                              pix, q_ids, q_mask, d_ids, d_mask, labels):
+    """The reference VitVQAModel forward composition
+    (vit_vqa_model.py:168-227), dropout 0: frozen-ViT pooled CLS + T5-enc
+    token-0 -> fuse+relu -> decoder on a 1-token memory -> last-non-pad
+    hidden -> classifier -> log_softmax/NLL."""
+    with torch.no_grad():                      # ref runs ViT under no_grad
+        pooled = hf_vit(pix).pooler_output
+    enc = hf_t5.encoder(input_ids=q_ids,
+                        attention_mask=q_mask).last_hidden_state
+    fused = torch.relu(fuse(torch.cat([pooled, enc[:, 0, :]], dim=1)))
+    dec = hf_t5.decoder(input_ids=d_ids, attention_mask=d_mask,
+                        encoder_hidden_states=fused.unsqueeze(1)
+                        ).last_hidden_state
+    Sd = d_ids.shape[1]
+    last_idx = torch.max(torch.where(d_mask == 1, torch.arange(Sd),
+                                     torch.zeros_like(d_mask)), dim=1).values
+    ans = torch.stack([dec[b, i, :] for b, i in enumerate(last_idx)], dim=0)
+    lp = torch.nn.functional.log_softmax(cls_lin(ans), dim=-1)
+    return torch.nn.NLLLoss()(lp, labels)
+
+
+@pytest.mark.slow
+def test_vit_family_train_dynamics_parity(rng):
+    """5 optimizer steps of the ViT enc-dec family vs the reference
+    composition with the reference ViT trainer's OWN grouping
+    (vit_vqa_trainer.py:298-319: vision@vision_lr, ALL of lang_model —
+    shared table included — @lm_encoder_lr, fusing+classifier
+    @classifier_lr). The headline assert is the SHARED token table: torch's
+    T5ForConditionalGeneration accumulates encoder-question AND
+    decoder-prompt gradients into ONE table; round <=3's two untied copies
+    diverge from this trajectory on step 1 (the round-4 tie makes the
+    gradient flow match)."""
+    from t5_resnet_vqa_tpu.models.vit import ViTConfig
+    from t5_resnet_vqa_tpu.models.vit_vqa import VitVQAModel
+    from test_vit_parity import _hf_vit
+
+    torch.manual_seed(0)
+    hidden, answers = 32, 11
+    vit_cfg = ViTConfig(hidden_size=hidden, num_layers=2, num_heads=4,
+                        mlp_dim=64, patch_size=16, image_size=32)
+    t5_cfg = T5Config(vocab_size=256, d_model=hidden, d_kv=8, d_ff=64,
+                      num_layers=2, num_decoder_layers=2, num_heads=4,
+                      dropout_rate=0.0)
+
+    hf_vit = _hf_vit(vit_cfg)
+    hf_t5 = transformers.T5ForConditionalGeneration(_hf_config(t5_cfg))
+    fuse = torch.nn.Linear(2 * hidden, hidden)
+    cls_lin = torch.nn.Linear(hidden, answers)
+
+    sd = hf_t5.state_dict()
+    params = jax.tree.map(lambda v: jnp.asarray(np.array(v, copy=True)), {
+        "vision_model": tc.convert_vit(hf_vit.state_dict(),
+                                       vit_cfg.num_layers),
+        "shared": {"embedding": np.asarray(sd["shared.weight"])},
+        "lang_encoder": tc.convert_t5_encoder(sd, 2, include_shared=False),
+        "lang_decoder": tc.convert_t5_decoder(sd, 2, include_shared=False),
+        "fusing_layer": tc.linear(fuse.state_dict(), ""),
+        "classification_layer": tc.linear(cls_lin.state_dict(), ""),
+    })
+    initial_shared = np.asarray(params["shared"]["embedding"]).copy()
+
+    B = 2
+    batches = []
+    for i in range(STEPS):
+        pix = rng.standard_normal((B, 3, 32, 32)).astype(np.float32)
+        q_ids = rng.integers(2, 256, size=(B, 9)).astype(np.int64)
+        q_mask = np.ones((B, 9), np.int64)
+        q_mask[1, 5 + (i % 3):] = 0
+        d_ids = rng.integers(2, 256, size=(B, 12)).astype(np.int64)
+        d_mask = np.ones((B, 12), np.int64)
+        d_mask[0, 8 + (i % 4):] = 0
+        labels = rng.integers(0, answers, size=(B,)).astype(np.int64)
+        batches.append((pix, q_ids, q_mask, d_ids, d_mask, labels))
+
+    # --- torch loop with the reference ViT trainer's grouping ---
+    groups = [
+        {"params": list(hf_vit.parameters()), "lr": VISION_LR},
+        {"params": list(hf_t5.parameters()), "lr": LM_LR},
+        {"params": list(fuse.parameters()), "lr": CLS_LR},
+        {"params": list(cls_lin.parameters()), "lr": CLS_LR},
+    ]
+    trainable = [p for g in groups for p in g["params"]]
+    opt = torch.optim.AdamW(groups, weight_decay=WD, amsgrad=True)
+    sched = transformers.get_linear_schedule_with_warmup(opt, WARMUP, STEPS)
+    want_losses = []
+    for pix, q_ids, q_mask, d_ids, d_mask, labels in batches:
+        opt.zero_grad()
+        loss = _torch_vit_golden_forward(
+            hf_vit, hf_t5, fuse, cls_lin,
+            torch.tensor(pix), torch.tensor(q_ids), torch.tensor(q_mask),
+            torch.tensor(d_ids), torch.tensor(d_mask),
+            torch.tensor(labels))
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(trainable, 1.0)
+        opt.step()
+        sched.step()
+        want_losses.append(float(loss))
+
+    # --- our side: production step + the reference grouping as group_map ---
+    model = VitVQAModel(answer_spaces=answers, t5_config=t5_cfg,
+                        vit_config=vit_cfg, fusing_dropout=0.0)
+    opt_cfg = OptimizerConfig(
+        type="AdamW", vision_lr=VISION_LR, lm_encoder_lr=LM_LR,
+        classifier_lr=CLS_LR, kwargs={"weight_decay": WD, "amsgrad": True})
+    sched_cfg = LRSchedulerConfig(num_warmup_steps=WARMUP)
+    group_map = {"vision_model": "vision", "shared": "lm_encoder",
+                 "lang_encoder": "lm_encoder", "lang_decoder": "lm_encoder",
+                 "fusing_layer": "classifier",
+                 "classification_layer": "classifier"}
+    tx, _, _ = build_optimizer(opt_cfg, sched_cfg, STEPS,
+                               gradient_clipping=1.0, group_map=group_map,
+                               frozen_modules=model.frozen_modules())
+    opt_state = tx.init(params)
+    train_step = jax.jit(make_train_step(model, tx))
+
+    got_losses = []
+    key = jax.random.PRNGKey(0)
+    for pix, q_ids, q_mask, d_ids, d_mask, labels in batches:
+        batch = dict(
+            question_input_ids=jnp.asarray(q_ids, jnp.int32),
+            question_attention_masks=jnp.asarray(q_mask, jnp.int32),
+            decoder_question_input_ids=jnp.asarray(d_ids, jnp.int32),
+            decoder_question_attention_masks=jnp.asarray(d_mask, jnp.int32),
+            pixel_values=jnp.asarray(pix.transpose(0, 2, 3, 1)),
+            annotation_ids=jnp.asarray(labels, jnp.int32),
+        )
+        params, opt_state, loss, _ = train_step(params, opt_state, batch,
+                                                key)
+        got_losses.append(float(loss))
+
+    np.testing.assert_allclose(got_losses, want_losses, rtol=3e-4, atol=3e-4)
+
+    # THE tied-table assert: our single shared table lands exactly where
+    # torch's tied table lands, and it moved (both token streams fed it)
+    want_shared = hf_t5.shared.weight.detach().numpy()
+    got_shared = np.asarray(params["shared"]["embedding"])
+    assert np.abs(got_shared - initial_shared).max() > 1e-6, "table never trained"
+    np.testing.assert_allclose(got_shared, want_shared, rtol=5e-3, atol=5e-4)
+
+    np.testing.assert_allclose(
+        np.asarray(params["classification_layer"]["kernel"]),
+        cls_lin.weight.detach().numpy().T, rtol=5e-3, atol=5e-4)
