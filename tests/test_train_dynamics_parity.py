@@ -339,3 +339,173 @@ def test_vit_family_train_dynamics_parity(rng):
     np.testing.assert_allclose(
         np.asarray(params["classification_layer"]["kernel"]),
         cls_lin.weight.detach().numpy().T, rtol=5e-3, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# CrossAttention family: interleaved-frozen dynamics (round 4)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_cross_family_train_dynamics_parity(rng):
+    """4 optimizer steps of the CrossAttention family vs the reference
+    composition with the reference cross trainer's OWN grouping
+    (cross_attention_vqa_trainer.py:298-324) and its quirks replicated:
+
+      * ViT embeddings + every interleaved ViT layer run under no_grad —
+        gradients must stop at each frozen layer's OUTPUT while the
+        trainable RoBERTa stream keeps flowing;
+      * the shared ``layer_norm`` is in NO optimizer group (the reference
+        forgot it) — its gradients COUNT toward the global clip norm
+        (ref :466 clips model.parameters()) but it never updates;
+      * clip over everything, AdamW(wd, amsgrad), HF linear warmup.
+    """
+    from t5_resnet_vqa_tpu.models.cross_attention_vqa import (
+        CrossAttentionVitVQAModel)
+    from t5_resnet_vqa_tpu.models.roberta import RobertaConfig
+    from t5_resnet_vqa_tpu.models.vit import ViTConfig
+    from test_cross_attention_parity import _hf_roberta, _hf_vit
+
+    import dataclasses
+
+    torch.manual_seed(0)
+    vit_cfg = ViTConfig.tiny()
+    # dropout 0 so train-mode math == the dropout-0 torch golden
+    rob_cfg = dataclasses.replace(RobertaConfig.tiny(), dropout_rate=0.0)
+    answers = 9
+    hf_vit = _hf_vit(vit_cfg)
+    hf_rob = _hf_roberta(rob_cfg)
+    pooler_lin = torch.nn.Linear(vit_cfg.hidden_size, 1)
+    cls_lin = torch.nn.Linear(vit_cfg.hidden_size, answers)
+    shared_ln = torch.nn.LayerNorm(vit_cfg.hidden_size)
+    num_layers = min(vit_cfg.num_layers, rob_cfg.num_layers)
+    n_img = vit_cfg.num_patches + 1
+
+    vit_sd = hf_vit.state_dict()
+    rob_sd = hf_rob.state_dict()
+    params_dict = {
+        "vit_embeddings": tc.convert_vit_embeddings(vit_sd),
+        "roberta_embeddings": tc.convert_roberta_embeddings(rob_sd),
+        "layer_norm": tc.layernorm(shared_ln.state_dict(), ""),
+        "attention_pooler": {
+            "attention": tc.linear(pooler_lin.state_dict(), "")},
+        "classification_layer": tc.linear(cls_lin.state_dict(), ""),
+    }
+    for i in range(num_layers):
+        params_dict[f"roberta_layer_{i}"] = tc.convert_roberta_layer(
+            rob_sd, f"encoder.layer.{i}")
+        params_dict[f"vit_layer_{i}"] = tc.convert_vit_layer(
+            vit_sd, f"encoder.layer.{i}")
+    params = jax.tree.map(lambda v: jnp.asarray(np.array(v, copy=True)),
+                          params_dict)
+    initial_ln = jax.tree.map(np.asarray, params["layer_norm"])
+    initial_vit = jax.tree.map(np.asarray, params["vit_layer_0"])
+
+    def torch_forward(pix, ids, labels):
+        with torch.no_grad():
+            image_emb = hf_vit.embeddings(pix)
+        text_emb = hf_rob.embeddings(input_ids=ids)
+        concat_emb = torch.cat([image_emb, text_emb], dim=1)
+        concat_hidden = concat_emb
+        image_hidden = image_emb
+        for i in range(num_layers):
+            rob_h = hf_rob.encoder.layer[i](concat_hidden)[0]
+            with torch.no_grad():
+                image_hidden = hf_vit.encoder.layer[i](image_hidden)
+                if isinstance(image_hidden, tuple):
+                    image_hidden = image_hidden[0]
+            concat_hidden = torch.cat(
+                [rob_h[:, n_img:, :], image_hidden], dim=1)
+            concat_hidden = shared_ln(concat_hidden + concat_emb)
+        att = torch.softmax(pooler_lin(concat_hidden), dim=1).transpose(1, 2)
+        pooled = torch.bmm(att, concat_hidden).squeeze(1)
+        lp = torch.nn.functional.log_softmax(cls_lin(pooled), dim=-1)
+        return torch.nn.NLLLoss()(lp, labels)
+
+    B, L = 2, 10
+    batches = []
+    for i in range(4):
+        pix = rng.standard_normal(
+            (B, 3, vit_cfg.image_size, vit_cfg.image_size),
+            dtype=np.float32)
+        ids = rng.integers(2, rob_cfg.vocab_size, size=(B, L)).astype(
+            np.int64)
+        labels = rng.integers(0, answers, size=(B,)).astype(np.int64)
+        batches.append((pix, ids, labels))
+
+    # torch loop, reference grouping: layer_norm in NO group
+    groups = [
+        {"params": (list(hf_vit.embeddings.parameters())
+                    + list(hf_vit.encoder.parameters())), "lr": VISION_LR},
+        {"params": (list(hf_rob.embeddings.parameters())
+                    + list(hf_rob.encoder.parameters())), "lr": LM_LR},
+        {"params": list(pooler_lin.parameters()), "lr": CLS_LR},
+        {"params": list(cls_lin.parameters()), "lr": CLS_LR},
+    ]
+    all_params = ([p for g in groups for p in g["params"]]
+                  + list(shared_ln.parameters()))
+    opt = torch.optim.AdamW(groups, weight_decay=WD, amsgrad=True)
+    sched = transformers.get_linear_schedule_with_warmup(opt, WARMUP, 4)
+    want_losses = []
+    for pix, ids, labels in batches:
+        opt.zero_grad()
+        loss = torch_forward(torch.tensor(pix), torch.tensor(ids),
+                             torch.tensor(labels))
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(all_params, 1.0)  # ln grads count
+        opt.step()
+        sched.step()
+        want_losses.append(float(loss))
+
+    # our side: production step; the never-trained layer_norm rides the
+    # frozen label (update zeroed, gradient still in the clip norm)
+    model = CrossAttentionVitVQAModel(
+        answer_spaces=answers, vit_config=vit_cfg, roberta_config=rob_cfg)
+    opt_cfg = OptimizerConfig(
+        type="AdamW", vision_lr=VISION_LR, lm_encoder_lr=LM_LR,
+        classifier_lr=CLS_LR, kwargs={"weight_decay": WD, "amsgrad": True})
+    sched_cfg = LRSchedulerConfig(num_warmup_steps=WARMUP)
+    group_map = {"vit_embeddings": "vision",
+                 "roberta_embeddings": "lm_encoder",
+                 "attention_pooler": "classifier",
+                 "classification_layer": "classifier"}
+    for i in range(num_layers):
+        group_map[f"vit_layer_{i}"] = "vision"
+        group_map[f"roberta_layer_{i}"] = "lm_encoder"
+    tx, _, _ = build_optimizer(
+        opt_cfg, sched_cfg, 4, gradient_clipping=1.0, group_map=group_map,
+        frozen_modules=tuple(model.frozen_modules()) + ("layer_norm",))
+    opt_state = tx.init(params)
+    train_step = jax.jit(make_train_step(model, tx))
+
+    got_losses = []
+    key = jax.random.PRNGKey(0)
+    for pix, ids, labels in batches:
+        batch = dict(
+            question_input_ids=jnp.asarray(ids, jnp.int32),
+            pixel_values=jnp.asarray(pix.transpose(0, 2, 3, 1)),
+            annotation_ids=jnp.asarray(labels, jnp.int32),
+        )
+        params, opt_state, loss, _ = train_step(params, opt_state, batch,
+                                                key)
+        got_losses.append(float(loss))
+
+    np.testing.assert_allclose(got_losses, want_losses, rtol=3e-4, atol=3e-4)
+
+    # frozen interleaved ViT layers: bitwise untouched
+    for a, b in zip(jax.tree.leaves(initial_vit),
+                    jax.tree.leaves(params["vit_layer_0"])):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    # the reference's forgotten layer_norm: unchanged on BOTH sides
+    np.testing.assert_array_equal(initial_ln["scale"],
+                                  np.asarray(params["layer_norm"]["scale"]))
+    np.testing.assert_array_equal(shared_ln.weight.detach().numpy(),
+                                  np.asarray(params["layer_norm"]["scale"]))
+    # trainable streams land where torch lands
+    np.testing.assert_allclose(
+        np.asarray(params["classification_layer"]["kernel"]),
+        cls_lin.weight.detach().numpy().T, rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(params["roberta_layer_0"]["query"]["kernel"]),
+        hf_rob.encoder.layer[0].attention.self.query.weight.detach(
+        ).numpy().T, rtol=5e-3, atol=5e-4)
