@@ -38,6 +38,12 @@ class ModelConfig:
     # same param tree (checkpoints interchangeable); measured within tunnel
     # noise on this chip (benchmarks/bench_t5_encoder.py), so default off
     fused_qkv: bool = False
+    # completes the reference's declared-but-dead calibration intent
+    # (resnet_vqa_model.py:44 "Implement temperature scaling", :99
+    # temperature_scaler=1.5, :155 commented): logits/T before softmax.
+    # 1.0 = off (reference effective behavior); the reference's declared
+    # value is 1.5
+    temperature_scaler: float = 1.0
 
     VISION_CHOICES = (
         "resnet18", "resnet34", "resnet50", "faster-rcnn",

@@ -69,6 +69,9 @@ class ViTEmbeddings(nn.Module):
 
 class CrossAttentionVitVQAModel(nn.Module):
     answer_spaces: int
+    # calibration divisor on the classifier logits (reference declared
+    # temperature_scaler=1.5 but never applied it — resnet_vqa_model.py:99,155)
+    temperature_scaler: float = 1.0
     vit_config: ViTConfig = ViTConfig.vit_base()
     roberta_config: RobertaConfig = RobertaConfig.roberta_base()
     fine_tune_vision: bool = False
@@ -139,4 +142,5 @@ class CrossAttentionVitVQAModel(nn.Module):
                                  name="attention_pooler")(concat_hidden)
         logits = nn.Dense(self.answer_spaces, dtype=self.dtype,
                           name="classification_layer")(pooled)
-        return log_softmax_nll(logits, annotation_ids)
+        return log_softmax_nll(logits, annotation_ids,
+                                    temperature=self.temperature_scaler)

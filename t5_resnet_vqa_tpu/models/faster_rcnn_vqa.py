@@ -34,6 +34,9 @@ Dtype = Any
 
 class FasterRcnnVQAModel(nn.Module):
     answer_spaces: int
+    # calibration divisor on the classifier logits (reference declared
+    # temperature_scaler=1.5 but never applied it — resnet_vqa_model.py:99,155)
+    temperature_scaler: float = 1.0
     t5_config: T5Config = T5Config.t5_base()
     num_attention_blocks: int = constants.SGA_DEFAULT_BLOCKS
     sga_config: AttentionConfig = AttentionConfig()
@@ -117,7 +120,8 @@ class FasterRcnnVQAModel(nn.Module):
                                  name="attention_pooler")(fused)
         logits = nn.Dense(self.answer_spaces, dtype=self.dtype,
                           name="classification_layer")(pooled)
-        log_probs, loss = log_softmax_nll(logits, annotation_ids)
+        log_probs, loss = log_softmax_nll(logits, annotation_ids,
+                                    temperature=self.temperature_scaler)
 
         if return_features:
             return log_probs, loss, levels

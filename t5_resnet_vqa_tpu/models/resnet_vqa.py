@@ -43,6 +43,9 @@ class ResnetVQAModel(nn.Module):
     """CNN-family VQA model (resnet18/34/50 towers)."""
 
     answer_spaces: int
+    # calibration divisor on the classifier logits (reference declared
+    # temperature_scaler=1.5 but never applied it — resnet_vqa_model.py:99,155)
+    temperature_scaler: float = 1.0
     vision_model_name: str = "resnet50"
     t5_config: T5Config = T5Config.t5_base()
     num_attention_blocks: int = constants.SGA_DEFAULT_BLOCKS
@@ -128,7 +131,8 @@ class ResnetVQAModel(nn.Module):
                                  name="attention_pooler")(fused)
         logits = nn.Dense(self.answer_spaces, dtype=self.dtype,
                           name="classification_layer")(pooled)
-        log_probs, loss = log_softmax_nll(logits, annotation_ids)
+        log_probs, loss = log_softmax_nll(logits, annotation_ids,
+                                    temperature=self.temperature_scaler)
 
         if return_features:
             # ref generate_answers returns {"features": raw C5 map} (:189,:201)

@@ -39,6 +39,9 @@ Dtype = Any
 
 class VitVQAModel(nn.Module):
     answer_spaces: int
+    # calibration divisor on the classifier logits (reference declared
+    # temperature_scaler=1.5 but never applied it — resnet_vqa_model.py:99,155)
+    temperature_scaler: float = 1.0
     t5_config: T5Config = T5Config.t5_base()
     vit_config: ViTConfig = ViTConfig.vit_base()
     fine_tune_vision: bool = False       # reference runs ViT under no_grad
@@ -204,7 +207,8 @@ class VitVQAModel(nn.Module):
             dec, idx[:, None, None], axis=1)[:, 0, :]
 
         logits = self.classification_layer(ans_embedding)
-        log_probs, loss = log_softmax_nll(logits, annotation_ids)
+        log_probs, loss = log_softmax_nll(logits, annotation_ids,
+                                    temperature=self.temperature_scaler)
 
         if return_attentions:
             return log_probs, loss, att_maps

@@ -264,11 +264,20 @@ class ChannelProjection(nn.Module):
 
 
 def log_softmax_nll(
-    logits: jnp.ndarray, labels: Optional[jnp.ndarray]
+    logits: jnp.ndarray, labels: Optional[jnp.ndarray],
+    temperature: float = 1.0
 ) -> tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """log_softmax + mean NLL, the classification head shared by every model
+    (resnet_vqa_model.py:156-162). Returns (log_probs, loss|None).
 
-    (resnet_vqa_model.py:156-162). Returns (log_probs, loss|None)."""
+    ``temperature`` completes the reference's DECLARED-but-dead calibration
+    intent ("Implement temperature scaling", resnet_vqa_model.py:44; the
+    unused ``temperature_scaler = 1.5`` at :99 and the commented
+    ``lm_logits/self.temperature_scaler`` at :155): logits divide by T
+    before the softmax — T > 1 flattens the probability mass without
+    changing the argmax ranking (serving top-k calibration)."""
+    if temperature != 1.0:
+        logits = logits / temperature
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     if labels is None:
         return log_probs, None

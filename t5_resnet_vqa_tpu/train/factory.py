@@ -56,6 +56,7 @@ def build_model(model_cfg: ModelConfig, num_answers: int):
                 answer_spaces=num_answers, t5_config=t5_cfg,
                 num_attention_blocks=model_cfg.num_attention_blocks,
                 fine_tune_vision=model_cfg.fine_tune_vision,
+                temperature_scaler=model_cfg.temperature_scaler,
                 dtype=dtype, use_pallas=model_cfg.use_pallas)
         else:
             model = ResnetVQAModel(
@@ -63,13 +64,16 @@ def build_model(model_cfg: ModelConfig, num_answers: int):
                 t5_config=t5_cfg,
                 num_attention_blocks=model_cfg.num_attention_blocks,
                 fine_tune_vision=model_cfg.fine_tune_vision,
+                temperature_scaler=model_cfg.temperature_scaler,
                 dtype=dtype, use_pallas=model_cfg.use_pallas)
     elif family == CROSS_FAMILY:
         model = CrossAttentionVitVQAModel(
             answer_spaces=num_answers,
-            fine_tune_vision=model_cfg.fine_tune_vision, dtype=dtype)
+            fine_tune_vision=model_cfg.fine_tune_vision,
+            temperature_scaler=model_cfg.temperature_scaler, dtype=dtype)
     else:
         model = VitVQAModel(
             answer_spaces=num_answers, t5_config=t5_cfg,
-            fine_tune_vision=model_cfg.fine_tune_vision, dtype=dtype)
+            fine_tune_vision=model_cfg.fine_tune_vision,
+            temperature_scaler=model_cfg.temperature_scaler, dtype=dtype)
     return model, family

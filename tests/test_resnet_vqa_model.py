@@ -167,3 +167,51 @@ def test_resnet_vqa_grads_skip_frozen_vision():
         for g in jax.tree.leaves(grads["classification_layer"]))
     assert vis_norm == 0.0
     assert cls_norm > 0.0
+
+
+def test_temperature_scaling_calibration():
+    """model_kwargs.temperature_scaler completes the reference's declared
+    calibration intent (resnet_vqa_model.py:44/:99/:155 — declared 1.5,
+    never applied): T>1 flattens the probability mass (higher entropy)
+    WITHOUT changing the argmax ranking, and T=1.0 is exactly the
+    reference's effective behavior."""
+    import jax
+    import jax.numpy as jnp
+
+    from t5_resnet_vqa_tpu.models.resnet_vqa import ResnetVQAModel
+    from t5_resnet_vqa_tpu.models.t5 import T5Config
+    from t5_resnet_vqa_tpu.ops import AttentionConfig
+
+    def build(t):
+        return ResnetVQAModel(
+            answer_spaces=7, vision_model_name="resnet18",
+            temperature_scaler=t,
+            t5_config=T5Config(vocab_size=128, d_model=32, d_kv=8, d_ff=64,
+                               num_layers=1, num_decoder_layers=1,
+                               num_heads=4),
+            sga_config=AttentionConfig(hidden_size=32, num_heads=4,
+                                       ff_size=32),
+            num_attention_blocks=1)
+
+    rng = np.random.default_rng(0)
+    batch = dict(
+        question_input_ids=jnp.asarray(
+            rng.integers(2, 128, size=(2, 8)), jnp.int32),
+        question_attention_masks=jnp.ones((2, 8), jnp.int32),
+        image_tensors=jnp.asarray(
+            rng.standard_normal((2, 32, 32, 3)), jnp.float32),
+    )
+    m1, m15 = build(1.0), build(1.5)
+    params = m1.init(jax.random.PRNGKey(0), **batch,
+                     annotation_ids=None)["params"]
+    lp1, _ = m1.apply({"params": params}, **batch, deterministic=True)
+    lp15, _ = m15.apply({"params": params}, **batch, deterministic=True)
+
+    # same ranking, flatter mass
+    np.testing.assert_array_equal(np.argsort(np.asarray(lp1), axis=-1),
+                                  np.argsort(np.asarray(lp15), axis=-1))
+    def entropy(lp):
+        p = np.exp(np.asarray(lp))
+        return float(-(p * np.asarray(lp)).sum(-1).mean())
+    assert entropy(lp15) > entropy(lp1)
+    assert not np.allclose(np.asarray(lp1), np.asarray(lp15))
