@@ -62,6 +62,12 @@ def export_state_dict(params, model_cfg):
 def main():
     args = build_argparser().parse_args()
 
+    # export is pure host work (Orbax read -> numpy -> torch.save); without
+    # this, the restore places arrays on the default accelerator — pointless
+    # for a conversion tool and a hard hang when the TPU tunnel is down
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
     import torch
 
     from t5_resnet_vqa_tpu.core import Config
