@@ -18,7 +18,7 @@ import json
 import sys
 import time
 
-BATCH_TPU = 128   # measured sweet spot (benchmarks/pallas_sga.md sweep: 64/128/256)
+BATCH_TPU = 128   # measured sweet spot (bench_forward_bsweep.py r4: 8672/7705/7131 pairs/s at 128/256/512)
 TPU_WARMUP = 5
 TPU_ITERS = 50
 BATCH_TORCH = 4          # the reference's train batch size

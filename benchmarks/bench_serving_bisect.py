@@ -100,8 +100,9 @@ def _corpus(B):
     jpg_paths = []
     for p in png_paths:
         q = os.path.join(jpg_dir, os.path.basename(p).replace(".png", ".jpg"))
-        if not os.path.exists(q):
-            cv2.imwrite(q, cv2.imread(p), [cv2.IMWRITE_JPEG_QUALITY, 90])
+        # unconditional: the PNGs above are rewritten every call, so a
+        # cached twin from an older corpus would silently desync
+        cv2.imwrite(q, cv2.imread(p), [cv2.IMWRITE_JPEG_QUALITY, 90])
         jpg_paths.append(q)
     return answers, png_paths, jpg_paths
 
@@ -190,7 +191,6 @@ def main():
     import jax.numpy as jnp
 
     from t5_resnet_vqa_tpu.data.preprocessing import decode_image
-    from t5_resnet_vqa_tpu.data.synthetic import make_synthetic_daquar
     from t5_resnet_vqa_tpu.eval.session import VQAInferenceSession
 
     t0 = time.time()
@@ -198,24 +198,11 @@ def main():
     log(f"tunnel warmup: {time.time() - t0:.1f}s "
         f"(device: {jax.devices()[0].platform})")
 
-    # 640x480 sources: real DAQUAR frame geometry
-    root, kw = make_synthetic_daquar(
-        "/tmp/serve_bisect_daquar", num_train=2, num_test=B, num_images=B,
-        image_size=256, source_hw=(480, 640))
-    answers = [a.strip() for a in
-               open(os.path.join(root, kw["answer_spaces_file"]))]
-    images_dir = os.path.join(root, kw["images_dir"])
-    png_paths = sorted(os.path.join(images_dir, f)
-                       for f in os.listdir(images_dir))[:B]
-    # JPEG twin corpus (quality 90, the usual serving transcode)
-    jpg_dir = os.path.join(root, "images_jpg")
-    os.makedirs(jpg_dir, exist_ok=True)
-    jpg_paths = []
-    for p in png_paths:
-        q = os.path.join(jpg_dir, os.path.basename(p).replace(".png", ".jpg"))
-        if not os.path.exists(q):
-            cv2.imwrite(q, cv2.imread(p), [cv2.IMWRITE_JPEG_QUALITY, 90])
-        jpg_paths.append(q)
+    # 640x480 PHOTO-LIKE sources + JPEG-90 twin — the same corpus as
+    # host_only mode (the first on-chip run measured the raw synthetic
+    # noise frames, which are codec-pathological: JPEG of noise decodes
+    # SLOWER than PNG and reduced decode loses ~30 LSB).
+    answers, png_paths, jpg_paths = _corpus(B)
 
     if family == "cnn":
         from t5_resnet_vqa_tpu.models.resnet_vqa import ResnetVQAModel
