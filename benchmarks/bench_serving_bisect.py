@@ -302,6 +302,25 @@ def main():
         log(f"{tag}: {dt * 1e3:.1f} ms/batch = {B / dt:.0f} answers/s, "
             f"agreement {agree:.3f}")
 
+    # ---------------- streaming throughput (multi-chunk pipeline) -------
+    # One ask_batch(B) call is a single compiled chunk: collate -> h2d ->
+    # compute -> fetch run SERIALLY, so the measured latency stacks every
+    # segment. ask_batch with 4B requests dispatches all four chunks before
+    # fetching any — chunk k+1's decode/transfer overlaps chunk k's device
+    # work (dispatches through the tunnel are async). THIS is the serving
+    # steady state; the single-chunk number above is cold-start latency.
+    streaming = {}
+    for tag, reduced, reqs in [("png_full", 0, reqs_png),
+                               ("jpg_reduced2", 2, reqs_jpg)]:
+        s = make_session(reduced)
+        s._predict = session._predict
+        stream = (reqs * 4)[:4 * B]
+        dt = _timeit(lambda: s.ask_batch(stream, top_k=1), rounds=4)
+        streaming[tag] = {"ms_per_chunk": round(dt * 1e3 / 4, 1),
+                          "answers_per_sec": round(4 * B / dt, 1)}
+        log(f"stream {tag}: {dt * 1e3 / 4:.1f} ms/chunk steady = "
+            f"{4 * B / dt:.0f} answers/s")
+
     # pixel parity delta of reduced decode (uint8 LSBs, resized geometry)
     full = session.collate.load_images(png_paths[:8]).astype(np.int32)
     red = make_session(2).collate.load_images(png_paths[:8]).astype(np.int32)
@@ -312,7 +331,8 @@ def main():
     print(json.dumps({"bench": "serving_bisect", "batch": B,
                       "family": family, "segments_ms":
                       {k: round(v, 2) for k, v in seg.items()},
-                      "variants": variants, "pixel_delta": pix}))
+                      "variants": variants, "streaming": streaming,
+                      "pixel_delta": pix}))
 
 
 if __name__ == "__main__":
