@@ -168,6 +168,11 @@ class TrainerConfig:
     # the reference's cadence). A mid-epoch crash then loses at most N
     # steps of optimizer state on resume.
     checkpoint_every_steps: int = 0
+    # HBM budget (MiB) for device snapshots pinned by PENDING background
+    # checkpoint saves; submission drains the oldest in-flight save before
+    # snapshotting past it. 0 = CheckpointManager default (4 GiB). Raise on
+    # big-HBM chips to overlap more saves; lower if training OOMs.
+    checkpoint_snapshot_budget_mb: int = 0
     # also compute ROUGE-1/2/L over validation predictions (the reference
     # implements compute_rouge_metric but never calls it live, ref :489-513;
     # here the hook is wired behind this flag)

@@ -51,6 +51,13 @@ def _device_snapshot(tree: Any) -> Any:
     return jax.tree.map(jnp.copy, tree)
 
 
+def _tree_nbytes(tree: Any) -> int:
+    """Estimated device bytes a snapshot of ``tree`` will occupy."""
+    return sum(x.size * x.dtype.itemsize
+               for x in jax.tree_util.tree_leaves(tree)
+               if hasattr(x, "size") and hasattr(x, "dtype"))
+
+
 class CheckpointManager:
     """Orbax-backed artifact store with the reference's file layout.
 
@@ -72,6 +79,19 @@ class CheckpointManager:
     # recovery only ever needs the latest), and submission blocks on the
     # oldest in-flight save otherwise.
     MAX_PENDING = 2
+    # ...and a BYTE bound on the snapshots those pending saves pin in HBM.
+    # A count bound alone is family-relative: the ViT enc-dec family's
+    # params+optimizer pair is ~3.9 GB, so two pending pairs + a best-model
+    # snapshot + live state exhausted the chip mid-soak (round-4 ViT
+    # 60-epoch soak: RESOURCE_EXHAUSTED at epoch ~8, reproduced, while the
+    # CNN family's ~1.9 GB pairs survived 60 epochs in round 3). Submission
+    # drains the oldest in-flight save BEFORE taking a new snapshot whenever
+    # the new snapshot would push pinned bytes past this budget, so peak
+    # checkpoint HBM = budget + one snapshot, regardless of model family.
+    # device.memory_stats() is unavailable through the axon tunnel, hence a
+    # static budget; tune via the ``snapshot_budget_bytes`` ctor arg for
+    # chips with more/less HBM.
+    MAX_PENDING_BYTES = 4 * 1024 ** 3
 
     # ``checkpoint-model`` (params) and ``state_dict_checkpoint``
     # (epoch + global_step + optimizer) are only meaningful as a PAIR from
@@ -82,12 +102,15 @@ class CheckpointManager:
     # epoch N next to an optimizer state from epoch N-1.
     PAIRED = ("checkpoint-model", "state_dict_checkpoint")
 
-    def __init__(self, output_dir: str):
+    def __init__(self, output_dir: str,
+                 snapshot_budget_bytes: Optional[int] = None):
         self.output_dir = os.path.join(output_dir, "model_checkpoints")
         os.makedirs(self.output_dir, exist_ok=True)
         self._ckpt = ocp.StandardCheckpointer()
         self._pool = None
-        self._pending: List[Any] = []    # (name, future) pairs
+        self._pending: List[Any] = []    # (name, future, nbytes) triples
+        self.snapshot_budget_bytes = (snapshot_budget_bytes
+                                      or self.MAX_PENDING_BYTES)
         self.superseded_saves = 0        # observability for long runs
         # swap/recover vs worker saves — RLock so guarded sections can nest
         self._swap_lock = threading.RLock()
@@ -293,8 +316,9 @@ class CheckpointManager:
         if not background:
             self._save_sync(name, tree, on_complete)
             return
-        self._submit(name, self._save_sync, name, _device_snapshot(tree),
-                     on_complete)
+        self._submit(name, _tree_nbytes(tree),
+                     lambda: (self._save_sync, name, _device_snapshot(tree),
+                              on_complete))
 
     def save_pair(self, params: Any, state: Any, background: bool = False,
                   on_complete: Optional[Any] = None) -> None:
@@ -305,11 +329,19 @@ class CheckpointManager:
         if not background:
             self._save_pair_sync(params, state, on_complete)
             return
-        self._submit("+".join(self.PAIRED), self._save_pair_sync,
-                     _device_snapshot(params), _device_snapshot(state),
-                     on_complete)
+        self._submit("+".join(self.PAIRED),
+                     _tree_nbytes(params) + _tree_nbytes(state),
+                     lambda: (self._save_pair_sync, _device_snapshot(params),
+                              _device_snapshot(state), on_complete))
 
-    def _submit(self, name: str, fn: Any, *fn_args: Any) -> None:
+    def _submit(self, name: str, nbytes: int, make_task: Any) -> None:
+        """Queue a background save of an ``nbytes``-sized device snapshot.
+
+        ``make_task() -> (fn, *args)`` takes the snapshot; it runs on the
+        CALLER thread strictly AFTER draining, so (a) the tree it copies is
+        still pre-donation-safe (no training step has run since the caller
+        built it) and (b) the copy is only allocated once the pinned-bytes
+        budget has room for it."""
         if self._pool is None:
             import concurrent.futures
             self._pool = concurrent.futures.ThreadPoolExecutor(
@@ -317,23 +349,30 @@ class CheckpointManager:
         # supersede queued-but-unstarted saves of the same name: the newer
         # tree is strictly more recent crash-recovery state
         kept = []
-        for n, f in self._pending:
+        for n, f, b in self._pending:
             if n == name and f.cancel():
                 self.superseded_saves += 1
             elif not f.done():
-                kept.append((n, f))
+                kept.append((n, f, b))
             else:
                 f.result()               # surface any worker exception
         self._pending = kept
-        while len(self._pending) >= self.MAX_PENDING:
-            self._pending.pop(0)[1].result()     # bound HBM snapshots
-        self._pending.append((name, self._pool.submit(fn, *fn_args)))
+        # bound pending snapshots by COUNT and by pinned HBM BYTES; draining
+        # happens before make_task() allocates the new snapshot, so peak
+        # checkpoint HBM never exceeds budget + one snapshot
+        while self._pending and (
+                len(self._pending) >= self.MAX_PENDING
+                or sum(b for _, _, b in self._pending) + nbytes
+                > self.snapshot_budget_bytes):
+            self._pending.pop(0)[1].result()
+        fn, *args = make_task()
+        self._pending.append((name, self._pool.submit(fn, *args), nbytes))
 
     def flush(self) -> None:
         """Join all pending background saves (exceptions propagate;
         cancelled/superseded saves are never in the pending list)."""
         pending, self._pending = self._pending, []
-        for _, f in pending:
+        for _, f, _ in pending:
             f.result()
 
     def restore_tree(self, name: str, target: Optional[Any] = None) -> Any:

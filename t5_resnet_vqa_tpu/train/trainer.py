@@ -208,6 +208,11 @@ class VQATrainer:
             self.logger, self.output_dir,
             save_final_model=cb.save_final_model, patience=cb.patience,
             mode=cb.mode, threshold=cb.threshold)
+        if tk.checkpoint_snapshot_budget_mb:
+            # pinned-snapshot HBM budget for background saves (see
+            # CheckpointManager.MAX_PENDING_BYTES for the default + why)
+            self.callbacks.ckpt.snapshot_budget_bytes = (
+                tk.checkpoint_snapshot_budget_mb * 2 ** 20)
         # tokenizer id-layout version, recorded into model_ckpt_info.json and
         # cross-checked at resume (advisor r3: the hash-v2 answer-space
         # pinning silently shifted ids vs hash-v1 checkpoints)

@@ -760,3 +760,98 @@ def test_recover_restores_old_when_swap_interrupted(tmp_path):
     assert fresh.exists("checkpoint-model")
     assert _tree_val(fresh, "checkpoint-model") == 1.0
     assert not os.path.isdir(fresh._path("checkpoint-model") + ".old")
+
+
+def test_snapshot_byte_budget_drains_before_new_snapshot(tmp_path):
+    """Pending background saves are bounded by pinned snapshot BYTES, not
+    just count. Found by the round-4 ViT 60-epoch soak: that family's
+    params+optimizer pair snapshot is ~3.9 GB, so MAX_PENDING=2 pairs plus
+    a best-model snapshot next to live state exhausted the chip's HBM
+    (RESOURCE_EXHAUSTED at epoch ~8, reproduced) while the CNN family's
+    ~1.9 GB pairs had survived 60 epochs. Submission must drain the oldest
+    in-flight save BEFORE taking a snapshot that would exceed the budget."""
+    import threading
+    import time as _time
+
+    from t5_resnet_vqa_tpu.train.callbacks import CheckpointManager
+
+    cm = CheckpointManager(str(tmp_path), snapshot_budget_bytes=1024)
+    gate = threading.Event()
+    real_save = cm._ckpt.save
+
+    def slow_save(path, tree, force=True):
+        gate.wait(timeout=30)
+        return real_save(path, tree, force=force)
+
+    cm._ckpt.save = slow_save
+    big = {"w": np.zeros(600, np.float32)}          # 2.4 KB > budget alone
+    # first submission always proceeds (a lone snapshot may exceed the
+    # budget — otherwise large models could never checkpoint at all)
+    cm.save_tree("best-model", big, background=True)
+    assert len(cm._pending) == 1
+
+    done = threading.Event()
+
+    def second():
+        cm.save_tree("final-model", big, background=True)
+        done.set()
+
+    th = threading.Thread(target=second, daemon=True)
+    th.start()
+    _time.sleep(0.5)
+    # 2.4 KB pinned + 2.4 KB incoming > 1 KB budget -> the second submit is
+    # draining the in-flight save, NOT stacking a second snapshot
+    assert not done.is_set()
+    gate.set()
+    assert done.wait(timeout=30)
+    cm.flush()
+    assert cm.exists("best-model") and cm.exists("final-model")
+
+
+def test_snapshot_budget_allows_concurrent_small_saves(tmp_path):
+    """Within the byte budget the queue keeps its round-3 behavior: two
+    different-name saves stay pending concurrently (no new blocking)."""
+    import threading
+
+    from t5_resnet_vqa_tpu.train.callbacks import CheckpointManager
+
+    cm = CheckpointManager(str(tmp_path))     # default 4 GiB budget
+    gate = threading.Event()
+    real_save = cm._ckpt.save
+
+    def slow_save(path, tree, force=True):
+        gate.wait(timeout=30)
+        return real_save(path, tree, force=force)
+
+    cm._ckpt.save = slow_save
+    small = {"w": np.zeros(4, np.float32)}
+    cm.save_tree("best-model", small, background=True)
+    cm.save_tree("final-model", small, background=True)   # returns at once
+    assert len(cm._pending) == 2
+    gate.set()
+    cm.flush()
+    assert cm.exists("best-model") and cm.exists("final-model")
+
+
+def test_pair_snapshot_bytes_accounting(tmp_path):
+    """save_pair's pinned-bytes estimate covers BOTH trees of the pair."""
+    import threading
+
+    from t5_resnet_vqa_tpu.train.callbacks import CheckpointManager
+
+    cm = CheckpointManager(str(tmp_path))
+    gate = threading.Event()
+    real_save = cm._ckpt.save
+
+    def slow_save(path, tree, force=True):
+        gate.wait(timeout=30)
+        return real_save(path, tree, force=force)
+
+    cm._ckpt.save = slow_save
+    params = {"w": np.zeros(100, np.float32)}             # 400 B
+    state = {"epoch": np.asarray(1), "w": np.zeros(50, np.float32)}
+    cm.save_pair(params, state, background=True)
+    nbytes = cm._pending[0][2]
+    assert nbytes == 400 + np.asarray(1).nbytes + 200
+    gate.set()
+    cm.flush()
