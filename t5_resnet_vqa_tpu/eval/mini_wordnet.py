@@ -54,6 +54,11 @@ White/Black person-senses tie the 0.875 color value; team/team senses tie
 0.875 for five/nine), so the vendored max stands. Cross-category pairs
 against NON-exact words (e.g. ``table``'s tabular-array sense vs number
 words) can still differ — that residue is the documented approximation.
+
+Quantifying the residue: ``tools/audit_wups_vs_nltk.py`` measures every
+ordered vocabulary pair against REAL NLTK WordNet (on any corpus-ful
+machine) and audits the ``_EXACT``/``_ALIASES``/``NO_NOUN_SYNSET`` claims
+above; its verdict logic is stub-tested in tests/test_wups_audit.py.
 """
 
 from __future__ import annotations
