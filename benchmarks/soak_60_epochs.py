@@ -205,6 +205,9 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="plumbing smoke: tiny dataset/model geometry "
                          "(pair with --device cpu --epochs 3)")
+    ap.add_argument("--max-resume-retries", type=int, default=4,
+                    help="relaunch-with-resume attempts after an abnormal "
+                         "(non-SIGINT) trainer exit, e.g. a tunnel drop")
     ap.add_argument("--report-only", action="store_true",
                     help="regenerate the report from an existing run's "
                          "training logs + metrics.jsonl (e.g. after the "
@@ -245,7 +248,22 @@ def main():
         os.path.join(OUT, "model_checkpoints", "final-model"))
     log(f"phase1: final-model saved: {final_saved}")
 
+    # Abnormal phase-1 exits (tunnel drop, OOM-kill — anything that is not
+    # the protocol's own SIGINT, which exits 0 via the final-model path)
+    # are retried THROUGH the resume path: that both keeps the endurance
+    # run alive on a flaky link and exercises the crash-recovery contract
+    # the soak exists to demonstrate. Bounded so a hard-down tunnel still
+    # terminates the runner with an honest non-zero rc in the report.
     out2, wall2, rc2 = run_phase("phase2-resume", resume=True)
+    retries = 0
+    while rc2 != 0 and retries < args.max_resume_retries:
+        retries += 1
+        log(f"phase2 died rc={rc2}; resume retry "
+            f"{retries}/{args.max_resume_retries} in 60s")
+        time.sleep(60)
+        o, w, rc2 = run_phase(f"phase2-retry{retries}", resume=True)
+        out2 += o
+        wall2 += w
     write_report(args, out1, wall1, rc1, out2, wall2, rc2, final_saved)
 
 
