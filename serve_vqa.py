@@ -1,4 +1,5 @@
-"""Serve a trained VQA checkpoint over HTTP (JSON API, one TPU chip).
+"""Serve a trained VQA checkpoint over HTTP (JSON API; one chip by default,
+``--data-parallel/--model-parallel`` shard the batch/params over a mesh).
 
 New TPU-framework surface — the reference has no serving path at all (its
 only inference is the heatmap CLIs' inline loops, CNN_vqa_heatmap.py:89-200).
@@ -39,12 +40,23 @@ def main():
                    help="allowlist root for request image_path values; "
                         "required for image_path on non-loopback --host "
                         "(remote clients may always send image_b64)")
+    p.add_argument("--data-parallel", type=int, default=1, metavar="DP",
+                   help="shard the serving batch DP ways over a device "
+                        "mesh (multi-chip serving; batch-size must divide)")
+    p.add_argument("--model-parallel", type=int, default=1, metavar="TP",
+                   help="tensor-parallel degree on the mesh model axis "
+                        "(same Megatron specs as training)")
     args = p.parse_args()
 
     cfg = Config.from_json(args.config, overrides=args.set)
     select_device(cfg.trainer.device)
+    mesh = None
+    if args.data_parallel * args.model_parallel > 1:
+        from t5_resnet_vqa_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh(args.data_parallel, args.model_parallel)
+        print(f"serving mesh: {dict(mesh.shape)}", flush=True)
     session = VQAInferenceSession.from_checkpoint(
-        cfg, batch_size=args.batch_size)
+        cfg, batch_size=args.batch_size, mesh=mesh)
     server = VQAHTTPServer(session, host=args.host, port=args.port,
                            default_top_k=args.top_k, logger=print,
                            image_root=args.image_root)

@@ -12,7 +12,15 @@ Design for the serving path:
   * dispatches are async; the only host sync is the final fetch of the
     decoded batch, so back-to-back ``ask_batch`` calls pipeline on device;
   * the collate's host preprocessing (native C++ resize path) runs on the
-    caller thread; wrap the session with ``data.Prefetcher`` for bulk jobs.
+    caller thread; wrap the session with ``data.Prefetcher`` for bulk jobs;
+  * multi-chip serving via ``mesh=``: the compiled batch is sharded over
+    the mesh's data axis (each chip runs batch/dp pairs) and the params
+    carry the SAME Megatron TP specs as training on the model axis
+    (parallel/sharding.py), so one session scales a big serving batch over
+    a pod slice with GSPMD inserting the collectives — no per-chip client
+    code. Answers are identical to the mesh-free session (probabilities
+    to reduction-order tolerance; tests/test_session_mesh.py pins dp and
+    dp×tp against single-device on both serving surfaces).
 """
 
 from __future__ import annotations
@@ -41,7 +49,7 @@ class VQAInferenceSession:
                  interpolation_strategy: str = "bilinear_interpolation",
                  lang_model: str = "t5-base", tokenizer=None,
                  uint8_wire: bool = True, reduced_decode: int = 0,
-                 num_workers: int = 0):
+                 num_workers: int = 0, mesh=None):
         from ..train.factory import CNN_FAMILY  # avoid import cycle
 
         self.answer_spaces = list(answer_spaces)
@@ -66,6 +74,16 @@ class VQAInferenceSession:
 
         self._model = model
         self._family = family
+        self._mesh = mesh
+        if mesh is not None:
+            from ..parallel import sharding as S
+            dp = mesh.shape[S.DATA_AXIS]
+            if self.batch_size % dp:
+                raise ValueError(
+                    f"serving batch_size {self.batch_size} must divide "
+                    f"evenly over the mesh data axis ({dp} ways) — the "
+                    f"predict program is compiled once at a static shape")
+            params = S.shard_params(params, mesh)
         self._params = params
         self._predict = jax.jit(predict)
         self._generate_cache = {}    # (num_beams, max_len) -> jitted fn
@@ -73,8 +91,8 @@ class VQAInferenceSession:
     # ------------------------------------------------------------------ api
 
     @classmethod
-    def from_checkpoint(cls, config, batch_size: int = 8, tokenizer=None
-                        ) -> "VQAInferenceSession":
+    def from_checkpoint(cls, config, batch_size: int = 8, tokenizer=None,
+                        mesh=None) -> "VQAInferenceSession":
         """Restore best-model + answer spaces from ``config.trainer.output_dir``
         (the model_ckpt_info.json contract, ref CNN_vqa_heatmap.py:326)."""
         from ..train.callbacks import CheckpointManager
@@ -103,7 +121,7 @@ class VQAInferenceSession:
                       tokenizer=tokenizer,
                       uint8_wire=config.dataset.uint8_wire_images,
                       reduced_decode=config.dataset.reduced_decode,
-                      num_workers=config.dataset.num_workers)
+                      num_workers=config.dataset.num_workers, mesh=mesh)
         # same id-layout guard as the trainer's resume: serving a
         # checkpoint under a different tokenizer scheme would scramble
         # every question's token ids silently
@@ -256,6 +274,12 @@ class VQAInferenceSession:
             batch = {k: np.concatenate(
                 [v, np.repeat(v[:1], self.batch_size - n, axis=0)])
                 for k, v in batch.items()}
+        if self._mesh is not None:
+            # place each input sharded over the data axis up front so jit
+            # never falls back to a replicated transfer + reshard
+            from ..parallel import sharding as S
+            batch = jax.device_put(
+                batch, S.batch_shardings_for(batch, self._mesh))
         return batch
 
     def _dispatch_chunk(self, chunk: Sequence[Tuple[str, str]]):
