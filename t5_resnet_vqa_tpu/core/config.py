@@ -173,6 +173,16 @@ class TrainerConfig:
     # snapshotting past it. 0 = CheckpointManager default (4 GiB). Raise on
     # big-HBM chips to overlap more saves; lower if training OOMs.
     checkpoint_snapshot_budget_mb: int = 0
+    # bound on how many epochs the DURABLE crash-recovery point may trail
+    # training. Background pair saves coalesce under backpressure (a slow
+    # tunnel makes a save take minutes while epochs take seconds), which
+    # lets the on-disk checkpoint fall arbitrarily far behind — the round-4
+    # ViT 60-epoch soak silently replayed 3 epochs after a crash. After the
+    # epoch-E save is submitted, if more than this many epoch checkpoints
+    # are still unlanded the trainer blocks until the queue drains (logged).
+    # 0 = every epoch checkpoint is synchronous-durable before the next
+    # epoch starts; -1 = unbounded (the old behavior).
+    max_checkpoint_lag_epochs: int = 2
     # also compute ROUGE-1/2/L over validation predictions (the reference
     # implements compute_rouge_metric but never calls it live, ref :489-513;
     # here the hook is wired behind this flag)
@@ -207,6 +217,8 @@ class TrainerConfig:
             raise ValueError("steps_per_dispatch must be >= 1")
         if self.checkpoint_every_steps < 0:
             raise ValueError("checkpoint_every_steps must be >= 0")
+        if self.max_checkpoint_lag_epochs < -1:
+            raise ValueError("max_checkpoint_lag_epochs must be >= -1")
 
 
 @dataclass

@@ -497,13 +497,18 @@ class EarlyStopping(Callbacks):
                 self.should_stop = True
 
     def save_epoch_checkpoint(self, params: Any, epoch: int, opt_state: Any,
-                              global_step: int = 0) -> None:
+                              global_step: int = 0,
+                              on_complete: Optional[Any] = None) -> None:
         """Submit the checkpoint-model + state_dict_checkpoint pair as one
         atomic background save (CheckpointManager.save_pair) — params and
-        optimizer state can never land from two different training points."""
+        optimizer state can never land from two different training points.
+        ``on_complete()`` runs on the checkpoint worker strictly after the
+        pair has landed (the trainer uses it to track the durable resume
+        point); a superseded save's on_complete never fires."""
         self.logger.log_new_line()
         self.logger.log_message("Saving Epoch Checkpoint")
         self.ckpt.save_pair(params, {
             "epoch": np.asarray(epoch),
             "global_step": np.asarray(global_step),
-            "optimizer": opt_state}, background=True)
+            "optimizer": opt_state}, background=True,
+            on_complete=on_complete)

