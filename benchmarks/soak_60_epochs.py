@@ -143,8 +143,12 @@ def run_phase(tag, sigint_epoch=None, resume=False, timeout=7200):
             proc.send_signal(signal.SIGINT)
             interrupted = True
         if time.time() - t0 > timeout:
+            # kill and fall through with a non-zero rc: phase 2's retry
+            # loop resumes from the durable checkpoint instead of losing
+            # the whole run to a RuntimeError with no report
+            log(f"[{tag}] timed out after {timeout}s — killing trainer")
             proc.kill()
-            raise RuntimeError(f"[{tag}] timed out after {timeout}s")
+            break
     rc = proc.wait()
     wall = time.time() - t0
     log(f"[{tag}] exit rc={rc} wall={wall:.0f}s")
@@ -162,6 +166,12 @@ def write_report(args, out1, wall1, rc1, out2, wall2, rc2, final_saved):
     valid = [(r.get("epoch"), r.get("valid_avg_loss"),
               r.get("valid_avg_wups")) for r in logs
              if "valid_avg_wups" in r]
+    # resume boundaries: a later log entry whose epoch does not advance
+    # past its predecessor marks a relaunch replaying from the durable
+    # checkpoint (VERDICT r4 #8: curves must disambiguate replayed epochs)
+    resume_at = [i for i in range(1, len(train))
+                 if train[i][0] <= train[i - 1][0]]
+    replayed = sum(train[i - 1][0] - train[i][0] + 1 for i in resume_at)
     report = {
         "epochs_requested": args.epochs,
         "sigint_epoch": args.sigint_epoch,
@@ -183,6 +193,15 @@ def write_report(args, out1, wall1, rc1, out2, wall2, rc2, final_saved):
         + out2.count("Saving Epoch Checkpoint"),
         "bad_epochs_logged": out1.count("Bad Epoch")
         + out2.count("Bad Epoch"),
+        # indices INTO train_curve where a relaunch restarted from the
+        # durable checkpoint + how many epoch entries are replays, so the
+        # curve's duplicate epochs read as resume evidence, not noise
+        "resume_boundaries": resume_at,
+        "replayed_epoch_entries": replayed,
+        "checkpoint_lag_drains": out1.count("Checkpoint lag reached")
+        + out2.count("Checkpoint lag reached"),
+        "staleness_warnings": out1.count("epoch(s) of work will be re-run")
+        + out2.count("epoch(s) of work will be re-run"),
         "train_curve": train,
         "valid_curve": valid,
     }
@@ -205,6 +224,9 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="plumbing smoke: tiny dataset/model geometry "
                          "(pair with --device cpu --epochs 3)")
+    ap.add_argument("--phase-timeout", type=int, default=7200,
+                    help="per-phase wall clock bound in seconds (phase 2 "
+                         "covers epochs sigint..60 — raise on a slow link)")
     ap.add_argument("--max-resume-retries", type=int, default=4,
                     help="relaunch-with-resume attempts after an abnormal "
                          "(non-SIGINT) trainer exit, e.g. a tunnel drop")
@@ -243,7 +265,8 @@ def main():
     import shutil
     shutil.rmtree(OUT, ignore_errors=True)
 
-    out1, wall1, rc1 = run_phase("phase1", sigint_epoch=args.sigint_epoch)
+    out1, wall1, rc1 = run_phase("phase1", sigint_epoch=args.sigint_epoch,
+                                 timeout=args.phase_timeout)
     final_saved = os.path.isdir(
         os.path.join(OUT, "model_checkpoints", "final-model"))
     log(f"phase1: final-model saved: {final_saved}")
@@ -254,14 +277,16 @@ def main():
     # run alive on a flaky link and exercises the crash-recovery contract
     # the soak exists to demonstrate. Bounded so a hard-down tunnel still
     # terminates the runner with an honest non-zero rc in the report.
-    out2, wall2, rc2 = run_phase("phase2-resume", resume=True)
+    out2, wall2, rc2 = run_phase("phase2-resume", resume=True,
+                                 timeout=args.phase_timeout)
     retries = 0
     while rc2 != 0 and retries < args.max_resume_retries:
         retries += 1
         log(f"phase2 died rc={rc2}; resume retry "
             f"{retries}/{args.max_resume_retries} in 60s")
         time.sleep(60)
-        o, w, rc2 = run_phase(f"phase2-retry{retries}", resume=True)
+        o, w, rc2 = run_phase(f"phase2-retry{retries}", resume=True,
+                              timeout=args.phase_timeout)
         out2 += o
         wall2 += w
     write_report(args, out1, wall1, rc1, out2, wall2, rc2, final_saved)
