@@ -198,7 +198,108 @@ def test_wups_wordnet_exact_value_table():
         ("books", "book", 1.0),
         ("tv", "television", 1.0),
         ("bike", "bicycle", 1.0),
+        # =========== round-5 exact-subtree derivations (VERDICT r4 #3) ====
+        # furniture tail: counter/coffee_table/dining_table ⊂ table(9);
+        # rocking_chair ⊂ chair(10); ottoman lemma of footstool ⊂ stool(10);
+        # bunk_bed ⊂ bed(10); crib ⊂ baby_bed(9)
+        ("counter", "desk", 2 * 9 / 20 * 0.1),
+        ("coffee_table", "dining_table", 2 * 9 / 20 * 0.1),
+        ("coffee_table", "table", 2 * 9 / 19),
+        ("rocking_chair", "chair", 2 * 10 / 21),
+        ("rocking_chair", "armchair", 2 * 10 / 22 * 0.1),
+        ("ottoman", "stool", 2 * 10 / 21),
+        ("ottoman", "chair", 2 * 9 / 21 * 0.1),
+        ("bunk_bed", "bed", 2 * 10 / 21),
+        ("crib", "bed", 2 * 8 / 20 * 0.1),
+        ("crib", "cabinet", 2 * 8 / 19 * 0.1),
+        # shelf.n.01 ⊂ support.n.10 ⊂ device(7) — NOT furniture
+        ("shelf", "bookshelf", 2 * 9 / 19),
+        ("shelf", "table", 2 * 6 / 18 * 0.1),
+        # containers(7) / vessels(8)
+        ("box", "bag", 2 * 7 / 16 * 0.1),
+        ("basket", "bin", 2 * 7 / 16 * 0.1),
+        ("trash_can", "bin", 2 * 8 / 17),
+        ("trash_can", "garbage_can", 1.0),   # ashcan.n.01 lemmas
+        ("bottle", "jar", 2 * 8 / 18 * 0.1),
+        ("vase", "jar", 2 * 9 / 19),
+        ("water_bottle", "wine_bottle", 2 * 9 / 20 * 0.1),
+        ("water_bottle", "bottle", 2 * 9 / 19),
+        ("kettle", "teapot", 2 * 9 / 20 * 0.1),   # siblings under pot(9)
+        ("kettle", "pot", 2 * 9 / 19),
+        ("bucket", "pot", 2 * 8 / 18 * 0.1),
+        ("mug", "bottle", 2 * 8 / 19 * 0.1),  # mug ⊂ drinking_vessel(9)
+        ("backpack", "bag", 2 * 8 / 17),
+        ("box", "bottle", 2 * 7 / 17 * 0.1),
+        # white goods(10) / kitchen appliances(10)
+        ("stove", "oven", 2 * 10 / 22 * 0.1),
+        ("microwave", "oven", 2 * 11 / 23),   # microwave_oven ⊂ oven
+        ("microwave", "stove", 2 * 10 / 23 * 0.1),
+        ("refrigerator", "fridge", 2 * 11 / 23),
+        ("refrigerator", "dishwasher", 2 * 10 / 22 * 0.1),
+        ("washing_machine", "dishwasher", 2 * 10 / 22 * 0.1),
+        ("stove", "refrigerator", 2 * 9 / 22 * 0.1),
+        ("toaster", "oven", 2 * 10 / 22 * 0.1),
+        # machine(8) / computer(9) / laptop(13, the 5-link WN path)
+        ("machine", "computer", 2 * 8 / 17),
+        ("laptop", "computer", 2 * 9 / 22 * 0.1),
+        ("machine", "stove", 2 * 7 / 19 * 0.1),
+        # lamps(9), electronic equipment, timepieces(10)
+        ("lamp", "floor_lamp", 2 * 9 / 19),
+        ("floor_lamp", "table_lamp", 2 * 9 / 20 * 0.1),
+        ("television", "radio", 2 * 10 / 22 * 0.1),  # receiver siblings
+        ("telephone", "television", 2 * 8 / 20 * 0.1),
+        ("telephone", "phone", 1.0),
+        ("clock", "watch", 2 * 10 / 22 * 0.1),
+        ("alarm_clock", "clock", 2 * 11 / 23),
+        ("clock", "lamp", 2 * 7 / 20 * 0.1),  # LCS device(7)
+        ("television", "computer", 2 * 6 / 20 * 0.1),  # instrumentality
+        # writing implements(8), publications(9)
+        ("pen", "pencil", 2 * 8 / 18 * 0.1),
+        ("book", "magazine", 2 * 9 / 20 * 0.1),
+        ("notebook", "book", 2 * 10 / 21),
+        # musical instruments — piano's THREE WN3.0 hypernyms: the
+        # percussion chain is what makes piano/drum 0.9, and the stringed
+        # chain lifts piano/guitar from 0.8 to 0.9
+        ("guitar", "piano", 2 * 9 / 20 * 0.1),
+        ("guitar", "drum", 2 * 8 / 20 * 0.1),
+        ("piano", "drum", 2 * 9 / 20 * 0.1),
+        # playthings: toy IS plaything.n.01 (lemma), depth 6
+        ("toy", "doll", 2 * 6 / 13 * 0.1),
+        ("toy", "teddy_bear", 2 * 6 / 13 * 0.1),
+        ("doll", "teddy_bear", 2 * 6 / 14 * 0.1),
+        ("toys", "toy", 1.0),
+        ("ball", "toy", 2 * 5 / 15 * 0.1),   # game_equipment vs plaything
+        # floor covers(7), cushions, bedclothes(8), cloth
+        ("carpet", "rug", 1.0),              # rug.n.01 lemmas
+        ("carpet", "mat", 2 * 7 / 16 * 0.1),
+        ("doormat", "mat", 2 * 8 / 17),
+        ("doormat", "carpet", 2 * 7 / 17 * 0.1),
+        ("pillow", "cushion", 2 * 7 / 15),   # pillow ⊂ cushion ⊂ padding
+        ("blanket", "sheet", 2 * 8 / 18 * 0.1),
+        ("sheets", "sheet", 1.0),
+        ("bedsheets", "sheet", 1.0),
+        ("towel", "blanket", 2 * 5 / 17 * 0.1),
+        ("pillow", "blanket", 2 * 5 / 17 * 0.1),
+        # cutlery ⊂ tableware ⊂ ware ⊂ article (NOT instrumentality)
+        ("fork", "spoon", 2 * 9 / 20 * 0.1),
+        ("fork", "table", 2 * 5 / 19 * 0.1),
+        # fauna / flora
+        ("bird", "fish", 2 * 9 / 21 * 0.1),  # LCS vertebrate(9)
+        ("dog", "bird", 2 * 9 / 24 * 0.1),
+        ("cat", "fish", 2 * 9 / 25 * 0.1),
+        ("tree", "plant", 2 * 7 / 17 * 0.1),
+        ("flower", "tree", 2 * 8 / 21 * 0.1),  # LCS vascular_plant(8)
+        ("plant", "flower", 2 * 7 / 18 * 0.1),
+        ("plants", "plant", 1.0),
+        ("flowers", "flower", 1.0),
+        ("dog", "plant", 2 * 6 / 21 * 0.1),  # LCS organism(6)
+        ("bicycle", "bike", 1.0),
+        # cross-ontology: color (abstraction) vs furniture (physical):
+        # only the fake root "entity" is shared
+        ("white", "table", 2 * 1 / 17 * 0.1),
+        ("red", "two", 2 * 2 / 16 * 0.1),    # LCS abstraction(2)
     ]
+    assert len(cases) >= 100, len(cases)
     for a, b, want in cases:
         assert wup_measure(a, b) == pytest.approx(want, abs=1e-9), (a, b)
 
@@ -211,7 +312,9 @@ def test_wups_provenance_api():
 
     assert mw.provenance("red") == "wordnet-3.0-exact"
     assert mw.provenance("grey") == "wordnet-3.0-exact"   # alias of gray
-    assert mw.provenance("lamp") == "approximation"
+    assert mw.provenance("lamp") == "wordnet-3.0-exact"   # promoted r5
+    assert mw.provenance("candle") == "approximation"
+    assert mw.provenance("chandelier") == "approximation"
     assert mw.provenance("transparent") == "no-noun-synset"
     assert mw.provenance("zzz_not_a_word") == "oov"
 
@@ -219,9 +322,10 @@ def test_wups_provenance_api():
     for w in words:
         assert mw.provenance(w) != "oov", w
     stats = mw.exactness_stats(words)
-    assert stats["exact_words"] == 53
-    assert stats["exact_word_pct"] == pytest.approx(14.44, abs=0.01)
-    assert stats["exact_pair_pct"] == pytest.approx(2.086, abs=0.01)
+    # round-5 subtree derivation: 53 -> 140 exact words (module docstring)
+    assert stats["exact_words"] == 140
+    assert stats["exact_word_pct"] == pytest.approx(38.15, abs=0.01)
+    assert stats["exact_pair_pct"] == pytest.approx(14.55, abs=0.01)
 
 
 def test_wups_no_noun_synset_words_score_zero():

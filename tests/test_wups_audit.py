@@ -57,10 +57,11 @@ def _mirror_table(words):
     return {w: [tuple(c) for c in mini_wordnet.synsets(w)] for w in words}
 
 
-# Small but representative slice: exact words (colors, numbers, furniture),
-# approximations, one alias pair.
+# Small but representative slice: exact words (colors, numbers, furniture,
+# r5 promotions lamp/bottle/television), approximations (candle, glass),
+# one alias pair.
 WORDS = ["red", "blue", "white", "two", "3", "table", "desk", "chair",
-         "sofa", "couch", "lamp", "bottle", "television"]
+         "sofa", "couch", "lamp", "bottle", "television", "candle", "glass"]
 
 
 def test_audit_agrees_on_mirror_corpus():
@@ -79,15 +80,15 @@ def test_audit_agrees_on_mirror_corpus():
 def test_audit_catches_diverging_chain():
     table = _mirror_table(
         WORDS + list(mini_wordnet._ALIASES) + list(mini_wordnet._ALIASES.values()))
-    # Move 'lamp' (an approximation, not _EXACT) somewhere else entirely:
-    # now mini's lamp-vs-bottle score disagrees with the 'real' corpus.
-    table["lamp"] = [("entity", "abstraction", "attribute", "lamp")]
+    # Move 'candle' (an approximation, not _EXACT) somewhere else entirely:
+    # now mini's candle-vs-bottle score disagrees with the 'real' corpus.
+    table["candle"] = [("entity", "abstraction", "attribute", "candle")]
     rep = audit_mod.audit(StubWordnet(table), words=WORDS)
     assert rep["pair_agree_pct"] < 100.0
-    assert any(o["a"] == "lamp" or o["b"] == "lamp"
+    assert any(o["a"] == "candle" or o["b"] == "candle"
                for o in rep["worst_pairs"])
-    assert any(w["word"] == "lamp" for w in rep["worst_words"])
-    # lamp is not claimed exact, so the provenance claims still hold
+    assert any(w["word"] == "candle" for w in rep["worst_words"])
+    # candle is not claimed exact, so the provenance claims still hold
     assert rep["exact_claim_violations"] == []
 
 
