@@ -22,7 +22,17 @@ BATCH_TPU = 128   # measured sweet spot (bench_forward_bsweep.py r4: 8672/7705/7
 TPU_WARMUP = 5
 TPU_ITERS = 50
 BATCH_TORCH = 4          # the reference's train batch size
-TORCH_ITERS = 3
+TORCH_ITERS = 5
+
+# The torch-CPU denominator pinned from idle-host measurements: rounds 1-3
+# measured 5.52 / 5.24 / 5.79 pairs/s (691-764 ms/batch); round 4's live
+# measurement read 1.52 pairs/s because the host was contended (the soak +
+# watcher were running), which made vs_baseline jump 3.8x with an unchanged
+# numerator (VERDICT r4 weak #1). vs_baseline now divides by this constant
+# so the ratio moves ONLY when the TPU number does; the live measurement is
+# still taken (min over iterations, which resists transient load) and
+# reported as a diagnostic with a contention flag.
+PINNED_CPU_BASELINE = 5.5
 
 
 def log(*a):
@@ -224,12 +234,17 @@ def bench_torch_cpu() -> float:
             return torch.nn.functional.log_softmax(cls(p), dim=-1)
 
     fwd()  # warmup
-    t0 = time.time()
+    # min over per-iteration times: a contended host inflates the mean but
+    # the fastest iteration stays close to the idle-host truth
+    times = []
     for _ in range(TORCH_ITERS):
+        t0 = time.time()
         fwd()
-    dt = (time.time() - t0) / TORCH_ITERS
+        times.append(time.time() - t0)
+    dt = min(times)
     pairs_per_sec = B / dt
-    log(f"torch-cpu: {dt * 1e3:.1f} ms/batch({B}) = "
+    log(f"torch-cpu: min {dt * 1e3:.1f} ms/batch({B}) over {TORCH_ITERS} "
+        f"iters (mean {sum(times) / len(times) * 1e3:.1f}) = "
         f"{pairs_per_sec:.2f} pairs/s")
     return pairs_per_sec
 
@@ -242,13 +257,30 @@ def main():
     except Exception as e:  # fail-soft: never risk the headline metric
         log(f"train-cached diagnostic failed (skipping): {e!r}")
         train = None
-    baseline = bench_torch_cpu()
+    try:
+        measured = bench_torch_cpu()
+    except Exception as e:   # fail-soft: the denominator is pinned anyway
+        log(f"torch-cpu live measurement failed (skipping): {e!r}")
+        measured = None
     out = {
         "metric": "vqa_pairs_per_sec_per_chip_resnet50_t5base_fwd",
         "value": round(tpu, 1),
         "unit": "pairs/s",
-        "vs_baseline": round(tpu / baseline, 1),
+        # round-comparable: fixed idle-host denominator (see
+        # PINNED_CPU_BASELINE) — moves only when the TPU numerator does
+        "vs_baseline": round(tpu / PINNED_CPU_BASELINE, 1),
+        "cpu_baseline_pinned": PINNED_CPU_BASELINE,
     }
+    if measured is not None:
+        out["cpu_baseline_measured"] = round(measured, 2)
+        # sanity: a live number far under the pinned one means the host was
+        # contended during measurement, not that torch got slower
+        contended = measured < 0.5 * PINNED_CPU_BASELINE
+        if contended:
+            out["cpu_baseline_contended"] = True
+            log(f"WARNING: live CPU baseline {measured:.2f} pairs/s is "
+                f"<50% of the pinned {PINNED_CPU_BASELINE} — host "
+                f"contention; vs_baseline uses the pinned constant")
     if train is not None:
         out["train_cached_pairs_per_sec"] = round(train, 1)
         out["train_cached_batch"] = train_batch
