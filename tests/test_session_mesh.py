@@ -25,6 +25,9 @@ from t5_resnet_vqa_tpu.ops import AttentionConfig
 from t5_resnet_vqa_tpu.parallel.sharding import make_mesh
 from t5_resnet_vqa_tpu.train.factory import CNN_FAMILY
 
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")]
+
 
 @pytest.fixture(scope="module")
 def cnn_setup(tmp_path_factory):
@@ -120,3 +123,15 @@ def test_mesh_serving_generation_vit_family(tmp_path):
                              mesh=make_mesh(8, 1))
     got = ms.generate_batch(reqs, max_answer_length=4)
     assert [r["token_ids"] for r in got] == [r["token_ids"] for r in ref]
+
+    # beam search under the mesh (ADVICE r4 #3): the decode reshapes to
+    # batch*num_beams along the data-sharded batch dim — pin tokens AND
+    # scores against the single-device session so that reshape provably
+    # survives GSPMD sharding instead of silently mis-permuting beams.
+    ref_beam = base.generate_batch(reqs, num_beams=3, max_answer_length=4)
+    got_beam = ms.generate_batch(reqs, num_beams=3, max_answer_length=4)
+    assert ([r["token_ids"] for r in got_beam]
+            == [r["token_ids"] for r in ref_beam])
+    np.testing.assert_allclose(
+        [r["score"] for r in got_beam], [r["score"] for r in ref_beam],
+        rtol=1e-5, atol=1e-6)

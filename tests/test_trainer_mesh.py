@@ -32,8 +32,8 @@ from t5_resnet_vqa_tpu.ops import AttentionConfig
 from t5_resnet_vqa_tpu.parallel import make_mesh
 from t5_resnet_vqa_tpu.train import VQATrainer
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")]
 
 
 def _tiny_model(num_answers):
