@@ -52,6 +52,20 @@ def main():
     select_device(cfg.trainer.device)
     mesh = None
     if args.data_parallel * args.model_parallel > 1:
+        # validate BEFORE the (slow) checkpoint restore, with real messages
+        # instead of make_mesh's numpy reshape error / the session
+        # constructor's late divisibility check (ADVICE r4)
+        import jax
+        n = len(jax.devices())
+        want = args.data_parallel * args.model_parallel
+        if want > n:
+            p.error(f"--data-parallel {args.data_parallel} x "
+                    f"--model-parallel {args.model_parallel} = {want} "
+                    f"devices, but only {n} available")
+        if args.batch_size % args.data_parallel:
+            p.error(f"--batch-size {args.batch_size} must be divisible by "
+                    f"--data-parallel {args.data_parallel} (each data shard "
+                    f"serves batch/dp pairs)")
         from t5_resnet_vqa_tpu.parallel.sharding import make_mesh
         mesh = make_mesh(args.data_parallel, args.model_parallel)
         print(f"serving mesh: {dict(mesh.shape)}", flush=True)

@@ -16,11 +16,16 @@ Design for the serving path:
   * multi-chip serving via ``mesh=``: the compiled batch is sharded over
     the mesh's data axis (each chip runs batch/dp pairs) and the params
     carry the SAME Megatron TP specs as training on the model axis
-    (parallel/sharding.py), so one session scales a big serving batch over
-    a pod slice with GSPMD inserting the collectives — no per-chip client
-    code. Answers are identical to the mesh-free session (probabilities
-    to reduction-order tolerance; tests/test_session_mesh.py pins dp and
-    dp×tp against single-device on both serving surfaces).
+    (parallel/sharding.py), with GSPMD inserting the collectives — no
+    per-chip client code. Scope: SINGLE-PROCESS multi-device (one host
+    driving all the mesh's chips, e.g. a v5e-8). Multi-HOST meshes are not
+    supported: ask_batch fetches the device output with np.asarray and
+    collates on one host, which requires a fully-addressable array — a
+    multi-process mesh would need a process_allgather-style fetch that
+    nothing here implements or tests. Answers are identical to the
+    mesh-free session (probabilities to reduction-order tolerance;
+    tests/test_session_mesh.py pins dp and dp×tp against single-device on
+    both serving surfaces).
 """
 
 from __future__ import annotations
