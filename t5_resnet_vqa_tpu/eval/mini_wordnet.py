@@ -46,10 +46,12 @@ believed reference-exact when BOTH words are in ``_EXACT``. The round-5
 subtree derivation (furniture tail, containers/vessels, white goods +
 kitchen appliances, the computer/laptop path, timepieces, writing
 implements, publications, musical instruments, playthings, floor covers,
-bedclothes, core fauna/flora) grew the set from 53 to 140 words — 38.1%
-of the 367 audited answer-space words and 14.6% of answer pairs (rounds
-≤4: 14.4% / 2.1%); over answers + question tokens (432 words): 32.4% /
-10.5%.
+bedclothes, core fauna/flora) grew the set from 53 to 140 words, and a
+second round-5 batch of single-noun-sense promotions (mirror, keyboard,
+remote_control/remote, faucet, heater, tray, wallet, bathtub, wall_clock,
+stapler, vacuum_cleaner) to 152 — 41.4% of the 367 audited answer-space
+words and 17.2% of answer pairs (rounds ≤4: 14.4% / 2.1%); over answers +
+question tokens (432 words): 35.2% / 12.4%.
 No answer-frequency data exists in this zero-egress image, so no
 frequency-weighted share is claimed; the categories covered exactly
 (colors, counts, furniture, appliances, structure-adjacent objects) are
@@ -166,7 +168,12 @@ _V: Dict[str, List[Chain]] = {
     "drawer": [_CONT], "counter": [_FURN + ("table",)],
     "lamp": [_DEV + ("source_of_illumination",)],
     "chandelier": [_DEV + ("source_of_illumination", "lamp")],
-    "light": [_DEV + ("source_of_illumination", "lamp")],
+    # light.n.02 ("light, light_source") is a SIBLING of lamp under
+    # source_of_illumination in WN3.0, not a lamp hyponym (r5 fix); the
+    # illumination-effect sense ⊂ visual_property (sibling of color) is
+    # vendored too so light-vs-color pairs take the higher abstract path
+    "light": [_DEV + ("source_of_illumination",),
+              _ABST + ("attribute", "property", "visual_property")],
     "candle": [_DEV + ("source_of_illumination",)],
     # appliances / machines
     "refrigerator": [_WGOODS],
@@ -174,8 +181,13 @@ _V: Dict[str, List[Chain]] = {
     # microwave, microwave_oven ⊂ oven (WN3.0)
     "stove": [_KAPPL], "oven": [_KAPPL], "microwave": [_KAPPL + ("oven",)],
     "dishwasher": [_WGOODS], "washing_machine": [_WGOODS],
-    "machine": [_DEV], "heater": [_APPL], "fan": [_APPL],
-    "radiator": [_APPL + ("heater",)],
+    "machine": [_DEV],
+    # heater.n.01 ("device that heats water or supplies warmth") ⊂ device
+    # directly in WN3.0 (r5 fix: rounds ≤4 hung it under home_appliance);
+    # radiator.n.02 ⊂ heater (the car radiator.n.01 ⊂ cooling_system is
+    # not vendored — radiator stays approximation)
+    "heater": [_DEV], "fan": [_DEV],
+    "radiator": [_DEV + ("heater",)],
     "treadmill": [_MACH + ("exercise_device",)],
     "exercise_equipment": [_MACH + ("exercise_device",)],
     # electronics — television_receiver ⊂ receiver ⊂ set.n.13 ⊂
@@ -186,11 +198,16 @@ _V: Dict[str, List[Chain]] = {
     "computer": [_MACH],
     "laptop": [_MACH + ("computer", "digital_computer",
                         "personal_computer", "portable_computer")],
-    "monitor": [_ELEC], "keyboard": [_DEV], "mouse": [_ELEC],
+    "monitor": [_ELEC], "keyboard": [_DEV],
+    # mouse: BOTH WN3.0 senses that matter in an indoor-scene vocabulary —
+    # mouse.n.04 (computer science) ⊂ electronic_device ⊂ device, and
+    # mouse.n.01 the rodent (r5 fix: rounds ≤4 vendored only an
+    # electronic_equipment chain, so mouse-vs-cat missed the rodent path)
+    "mouse": [_DEV + ("electronic_device",), _ANIMAL + ("rodent",)],
     "printer": [_MACH], "speaker": [_ELEC],
     "radio": [_ELEC + ("set", "receiver")],
     "telephone": [_ELEC],
-    "remote_control": [_DEV], "remote": [_DEV + ("remote_control",)],
+    "remote_control": [_DEV],
     "switch": [_DEV], "outlet": [_DEV], "charger": [_DEV],
     "clock": [_TIMEPIECE],
     "cable": [_INSTR + ("conductor", "wire")],
@@ -348,7 +365,7 @@ _V: Dict[str, List[Chain]] = {
     "dryer": [_APPL], "iron": [_APPL], "vacuum_cleaner": [_APPL],
     "air_conditioner": [_APPL],
     "hair_dryer": [_APPL + ("dryer",)],
-    "ceiling_fan": [_APPL + ("fan",)],
+    "ceiling_fan": [_DEV + ("fan",)],   # follows fan.n.01 ⊂ device (r5)
     "sewing_machine": [_MACH],
     "stapler": [_MACH],
     "ironing_board": [_SURFACE + ("board",)],
@@ -472,6 +489,7 @@ _ALIASES: Dict[str, str] = {
     "photo": "photograph",           # photograph.n.01: "photograph, photo, exposure"
     "phone": "telephone",            # telephone.n.01: "telephone, phone"
     "bike": "bicycle",               # bicycle.n.01: "bicycle, bike, wheel, cycle"
+    "remote": "remote_control",      # remote_control.n.01: "remote control, remote"
     "bedsheets": "sheet",            # sheet.n.03: "sheet, bed sheet"
     "rug": "carpet",                 # rug.n.01: "rug, carpet, carpeting"
     "toy": "plaything",              # plaything.n.01: "plaything, toy"
@@ -553,7 +571,18 @@ _EXACT = frozenset(
     # floor covers, cushions/bedclothes, cloth, cutlery, conveyance
     + ["carpet", "rug", "mat", "doormat", "towel", "pillow", "cushion",
        "blanket", "sheet", "sheets", "bedsheets", "fork", "spoon",
-       "bicycle", "bike"])
+       "bicycle", "bike"]
+    # round-5 second batch — single-noun-sense words whose full WN3.0
+    # synset inventory is enumerable offline: mirror ⊂ reflector ⊂ device;
+    # keyboard/remote_control ⊂ device (remote is a remote_control.n.01
+    # lemma); faucet ⊂ regulator ⊂ device; heater ⊂ device (its only other
+    # sense, the baseball fastball ⊂ pitch, lives in the act subtree no
+    # vocabulary word shares); tray ⊂ receptacle ⊂ container; wallet ⊂
+    # case ⊂ container; bathtub ⊂ vessel; wall_clock ⊂ clock; stapler ⊂
+    # machine; vacuum_cleaner ⊂ home_appliance
+    + ["mirror", "keyboard", "remote_control", "remote", "faucet",
+       "heater", "tray", "wallet", "bathtub", "wall_clock", "stapler",
+       "vacuum_cleaner"])
 
 
 def provenance(word: str) -> str:

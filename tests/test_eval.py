@@ -298,6 +298,31 @@ def test_wups_wordnet_exact_value_table():
         # only the fake root "entity" is shared
         ("white", "table", 2 * 1 / 17 * 0.1),
         ("red", "two", 2 * 2 / 16 * 0.1),    # LCS abstraction(2)
+        # ====== round-5 single-noun-sense batch (VERDICT r4 #3) ==========
+        # device(7) subtree: mirror ⊂ reflector(8); keyboard(8);
+        # remote_control(8), "remote" a lemma of the same synset;
+        # faucet ⊂ regulator(8); heater(8)
+        ("mirror", "lamp", 2 * 7 / 18 * 0.1),
+        ("keyboard", "mirror", 2 * 7 / 17 * 0.1),
+        ("remote_control", "remote", 1.0),   # remote_control.n.01 lemmas
+        ("remote_control", "keyboard", 2 * 7 / 16 * 0.1),
+        ("faucet", "heater", 2 * 7 / 17 * 0.1),
+        ("heater", "lamp", 2 * 7 / 17 * 0.1),
+        ("heater", "machine", 2 * 7 / 16 * 0.1),
+        # containers: tray ⊂ receptacle(8); wallet ⊂ case(8); bathtub ⊂
+        # vessel(8)
+        ("tray", "box", 2 * 7 / 17 * 0.1),
+        ("wallet", "bag", 2 * 7 / 17 * 0.1),
+        ("wallet", "backpack", 2 * 7 / 18 * 0.1),
+        ("bathtub", "bucket", 2 * 8 / 18 * 0.1),
+        # timepieces: wall_clock ⊂ clock(11)
+        ("wall_clock", "alarm_clock", 2 * 11 / 24 * 0.1),
+        ("wall_clock", "watch", 2 * 10 / 23 * 0.1),
+        # stapler ⊂ machine(8); vacuum_cleaner ⊂ home_appliance(9)
+        ("stapler", "computer", 2 * 8 / 18 * 0.1),
+        ("vacuum_cleaner", "refrigerator", 2 * 9 / 21 * 0.1),
+        ("vacuum_cleaner", "stove", 2 * 9 / 21 * 0.1),
+        ("mirror", "television", 2 * 6 / 20 * 0.1),  # LCS instrumentality
     ]
     assert len(cases) >= 100, len(cases)
     for a, b, want in cases:
@@ -322,10 +347,11 @@ def test_wups_provenance_api():
     for w in words:
         assert mw.provenance(w) != "oov", w
     stats = mw.exactness_stats(words)
-    # round-5 subtree derivation: 53 -> 140 exact words (module docstring)
-    assert stats["exact_words"] == 140
-    assert stats["exact_word_pct"] == pytest.approx(38.15, abs=0.01)
-    assert stats["exact_pair_pct"] == pytest.approx(14.55, abs=0.01)
+    # round-5 subtree derivation (53 -> 140) + single-noun-sense batch
+    # (-> 152 exact words; module docstring)
+    assert stats["exact_words"] == 152
+    assert stats["exact_word_pct"] == pytest.approx(41.42, abs=0.01)
+    assert stats["exact_pair_pct"] == pytest.approx(17.15, abs=0.01)
 
 
 def test_wups_no_noun_synset_words_score_zero():
