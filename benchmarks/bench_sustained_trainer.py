@@ -78,6 +78,12 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--reuse-dataset", action="store_true")
+    ap.add_argument("--sync-checkpoints", action="store_true",
+                    help="max_checkpoint_lag_epochs=0: every epoch save "
+                         "lands synchronously BETWEEN epochs, so the train "
+                         "loop is measured without an in-flight 2.3 GB "
+                         "snapshot fetch sharing the tunnel (attribution "
+                         "run; writes sustained_trainer_syncckpt.json)")
     args = ap.parse_args()
 
     if not (args.reuse_dataset and os.path.exists(
@@ -106,7 +112,9 @@ def main():
                            "monitor_test": False, "is_training": True,
                            "use_cache": True, "first_val_epoch": 0,
                            "mxp_training": True,
-                           "steps_per_dispatch": args.k},
+                           "steps_per_dispatch": args.k,
+                           "max_checkpoint_lag_epochs":
+                               0 if args.sync_checkpoints else 2},
         "optimizer_kwargs": {"type": "AdamW",
                              "kwargs": {"weight_decay": 0.1,
                                         "amsgrad": True},
@@ -159,6 +167,7 @@ def main():
 
     steady = [t for e, t in epoch_times if e >= 1]
     report = {
+        "sync_checkpoints": args.sync_checkpoints,
         "pairs_per_epoch": args.pairs,
         "batch_size": args.batch,
         "steps_per_dispatch": args.k,
@@ -176,8 +185,9 @@ def main():
             round(args.pairs / min(steady), 1) if steady else None),
         "total_wall_s": round(total_wall, 1),
     }
-    with open(os.path.join(REPO, "benchmarks", "sustained_trainer.json"),
-              "w") as f:
+    name = ("sustained_trainer_syncckpt.json" if args.sync_checkpoints
+            else "sustained_trainer.json")
+    with open(os.path.join(REPO, "benchmarks", name), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report, indent=1))
 
