@@ -37,6 +37,23 @@ class Logger:
         sh.setFormatter(_logging.Formatter("%(message)s"))
         self._logger.addHandler(fh)
         self._logger.addHandler(sh)
+        self._file_handler = fh
+
+    def sync(self) -> None:
+        """Flush AND fsync the log file to stable storage.
+
+        stdlib FileHandler flushes per record (OS page cache), which is not
+        durable: the round-5 60-epoch soak lost the pages of a whole phase's
+        training log to a host filesystem incident while the fsync'd
+        checkpoint files survived. The trainer calls this once per epoch so
+        a run's log record is at most one epoch behind its checkpoints.
+        """
+        stream = self._file_handler.stream
+        try:
+            stream.flush()
+            os.fsync(stream.fileno())
+        except (OSError, ValueError):   # closed stream — nothing to sync
+            pass
 
     def log_message(self, message: str) -> None:
         self._logger.info(message)
@@ -85,7 +102,14 @@ class ExperimentTracker:
         record = dict(record)
         record.setdefault("_time", time.time())
         self._fh.write(json.dumps(record, default=str) + "\n")
+        # flush + fsync: metrics records are written a few times per epoch
+        # (epoch train/valid summaries), so full durability is ~free — and
+        # the round-5 soak proved flush-only loses rows to a host fs
+        # incident (epochs 8-45 of metrics.jsonl vanished; the fsync'd
+        # checkpoints survived). benchmarks/recover_soak_report.py is the
+        # forensic tool that incident required; this line is the fix.
         self._fh.flush()
+        os.fsync(self._fh.fileno())
 
     def log(self, metrics: Dict[str, Any]) -> None:
         self._step += 1

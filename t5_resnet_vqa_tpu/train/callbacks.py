@@ -388,13 +388,22 @@ class CheckpointManager:
             return os.path.isdir(self._path(name))
 
     def write_json(self, name: str, obj: Any) -> None:
-        # tmp + rename: a kill mid-write must never leave truncated JSON for
-        # _try_resume/EarlyStopping to choke on
+        # tmp + fsync + rename + dir-fsync: a kill mid-write must never
+        # leave truncated JSON for _try_resume/EarlyStopping to choke on,
+        # and a host page-cache loss (the round-5 soak's fs incident) must
+        # not roll the record back after the rename was observed
         path = os.path.join(self.output_dir, name)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(obj, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
+        dir_fd = os.open(self.output_dir, os.O_RDONLY)
+        try:
+            os.fsync(dir_fd)
+        finally:
+            os.close(dir_fd)
 
     def read_json(self, name: str) -> Optional[Any]:
         p = os.path.join(self.output_dir, name)

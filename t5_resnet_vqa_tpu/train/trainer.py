@@ -725,6 +725,10 @@ class VQATrainer:
                     "training_progress.json",
                     {"epochs_completed": epoch + 1,
                      "global_step": self.global_step})
+                # land the epoch's log lines on stable storage alongside it
+                # (flush-only logs lost a whole phase to the round-5 soak's
+                # host fs incident; metrics.jsonl fsyncs per record)
+                self.logger.sync()
                 self._enforce_checkpoint_lag_bound(epoch + 1)
                 if self.callbacks.should_stop:
                     self.logger.log_message(

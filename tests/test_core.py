@@ -127,6 +127,41 @@ def test_experiment_tracker(tmp_path):
     assert lines[1]["loss"] == 0.5
 
 
+def test_run_records_are_fsynced(tmp_path, monkeypatch):
+    """Durability pin (round 5): the 60-epoch soak lost metrics.jsonl rows
+    and a whole training_log file to a host fs incident because flush()
+    only reaches the page cache. Tracker records, Logger.sync(), and
+    write_json must all fsync (benchmarks/soak_vit_60_epochs.md)."""
+    from t5_resnet_vqa_tpu.core import ExperimentTracker
+    from t5_resnet_vqa_tpu.train.callbacks import CheckpointManager
+
+    synced = []
+    real_fsync = os.fsync
+    monkeypatch.setattr(os, "fsync", lambda fd: (synced.append(fd),
+                                                 real_fsync(fd))[1])
+
+    tr = ExperimentTracker(str(tmp_path), "proj", config={"a": 1})
+    n0 = len(synced)
+    tr.log({"loss": 0.5, "epoch": 0})
+    assert len(synced) > n0, "tracker.log must fsync its record"
+    tr.finish()
+
+    lg = Logger(str(tmp_path))
+    lg.log_message("epoch line")
+    n0 = len(synced)
+    lg.sync()
+    assert len(synced) > n0, "Logger.sync must fsync the log file"
+    lg.sync()   # idempotent, including on an already-flushed stream
+
+    store = CheckpointManager(str(tmp_path / "ck"))
+    n0 = len(synced)
+    store.write_json("training_progress.json", {"epochs_completed": 3})
+    # file fsync + containing-dir fsync (rename durability)
+    assert len(synced) >= n0 + 2
+    assert store.read_json("training_progress.json") == {
+        "epochs_completed": 3}
+
+
 def test_select_device_tpu_fails_loudly_without_tpu(monkeypatch):
     """device='tpu' with no TPU visible must raise, not silently run on CPU
     (the backend is already initialized, so a jax_platforms update would be
