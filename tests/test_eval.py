@@ -354,6 +354,40 @@ def test_wups_provenance_api():
     assert stats["exact_pair_pct"] == pytest.approx(17.15, abs=0.01)
 
 
+def test_wups_every_non_exact_word_has_a_documented_reason():
+    """VERDICT r4 #3 'done' condition: every audited vocabulary word is
+    provenance-exact OR carries a documented reason. non_exact_reason()
+    makes the module docstring's three buckets machine-checkable, and the
+    non-lemma bucket is verifiable against real NLTK by
+    tools/audit_wups_vs_nltk.py (non_lemma_bucket_violations)."""
+    from t5_resnet_vqa_tpu.data import daquar_vocab
+    from t5_resnet_vqa_tpu.eval import mini_wordnet as mw
+
+    words = sorted(set(daquar_vocab.ANSWER_WORDS))
+    buckets = {}
+    for w in words:
+        prov = mw.provenance(w)
+        reason = mw.non_exact_reason(w)
+        if prov in ("wordnet-3.0-exact", "no-noun-synset"):
+            assert reason is None, w
+        else:
+            assert prov == "approximation", w
+            assert reason is not None, w
+            buckets.setdefault(reason, []).append(w)
+    assert set(buckets) <= {"multiple-inheritance-linearized",
+                            "non-lemma-normalization-scored-generously",
+                            "chain-underivable-offline"}
+    # the explicit bucket memberships name real vocabulary words
+    assert "person" in buckets["multiple-inheritance-linearized"]
+    assert "apple" in buckets["multiple-inheritance-linearized"]
+    assert ("basket_ball"
+            in buckets["non-lemma-normalization-scored-generously"])
+    assert "chandelier" in buckets["chain-underivable-offline"]
+    # exact words never carry a reason
+    assert mw.non_exact_reason("red") is None
+    assert mw.non_exact_reason("zzz_not_a_word") is None
+
+
 def test_wups_no_noun_synset_words_score_zero():
     """Adjective-only words score 0 against everything, like the reference
     (empty noun synsets -> 0.0)."""

@@ -144,6 +144,12 @@ def audit(wn, words: Optional[Sequence[str]] = None, top: int = 40) -> Dict:
     oov_but_real = [
         w for w in words
         if mini_wordnet.provenance(w) == "oov" and wn.synsets(w, pos="n")]
+    # 5. non-lemma bucket claim: words non_exact_reason() classifies as
+    #    space->underscore normalizations that are NOT WordNet lemmas must
+    #    truly have zero noun synsets under NLTK.
+    non_lemma_violations = [
+        w for w in sorted(mini_wordnet._NON_LEMMA_NORMALIZATION)
+        if wn.synsets(w, pos="n")]
 
     worst_words = sorted(per_word_max.items(), key=lambda kv: -kv[1])
     return {
@@ -155,6 +161,7 @@ def audit(wn, words: Optional[Sequence[str]] = None, top: int = 40) -> Dict:
         "exact_claim_violations": exact_violations,
         "alias_claim_violations": alias_violations,
         "no_noun_synset_violations": nns_violations,
+        "non_lemma_bucket_violations": non_lemma_violations,
         "oov_but_in_wordnet": oov_but_real,
         "worst_words": [
             {"word": w, "max_abs_delta": round(d, 6)}
