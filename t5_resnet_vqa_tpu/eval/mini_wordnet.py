@@ -46,12 +46,14 @@ believed reference-exact when BOTH words are in ``_EXACT``. The round-5
 subtree derivation (furniture tail, containers/vessels, white goods +
 kitchen appliances, the computer/laptop path, timepieces, writing
 implements, publications, musical instruments, playthings, floor covers,
-bedclothes, core fauna/flora) grew the set from 53 to 140 words, and a
+bedclothes, core fauna/flora) grew the set from 53 to 140 words, a
 second round-5 batch of single-noun-sense promotions (mirror, keyboard,
 remote_control/remote, faucet, heater, tray, wallet, bathtub, wall_clock,
-stapler, vacuum_cleaner) to 152 — 41.4% of the 367 audited answer-space
-words and 17.2% of answer pairs (rounds ≤4: 14.4% / 2.1%); over answers +
-question tokens (432 words): 35.2% / 12.4%.
+stapler, vacuum_cleaner) to 152, and the round-5 polysemy audit (commode
+chain) promoted toilet — 153 words = 41.7% of the 367 audited
+answer-space words and 17.4% of answer pairs (rounds ≤4: 14.4% / 2.1%);
+strict tier (no known unvendored secondary sense on either side, see the
+polysemy caveat below): 130 words / 12.5% of pairs.
 No answer-frequency data exists in this zero-egress image, so no
 frequency-weighted share is claimed; the categories covered exactly
 (colors, counts, furniture, appliances, structure-adjacent objects) are
@@ -68,14 +70,27 @@ plate), (c) space->underscore answer normalizations that may not be
 WordNet lemmas at all (garbage_bin, flower_pot, basket_ball, office_chair,
 desk_lamp — the reference scores a non-lemma 0.0 via empty synsets, so a
 vendored chain here is deliberately MORE generous than the reference).
-Caveat, checked by hand for the exact set: WordNet also holds secondary
-synsets we do not vendor (proper nouns like White/Black person-senses,
-team-senses of five/nine/eleven, money-senses of ten); for within-set pairs
-those alternatives were verified NOT to exceed the vendored maximum (e.g.
-White/Black person-senses tie the 0.875 color value; team/team senses tie
-0.875 for five/nine), so the vendored max stands. Cross-category pairs
-against NON-exact words (e.g. ``table``'s tabular-array sense vs number
-words) can still differ — that residue is the documented approximation.
+Polysemy caveat (tightened by the round-5 audit): the reference maxes over
+a word's ENTIRE noun-synset inventory — slang and technical senses
+included — so the vendored max can underestimate real NLTK wherever a
+secondary sense lands nearer another vocabulary word than the primary
+chain does. The audit walked the exact set for exactly this failure mode:
+every case found that crosses the 0.925 threshold (same-synset lemma
+collisions like pot/stool/toilet in the commode synset, toy ⊂ dog via
+toy_dog, board/table via the meals synset, bag/purse via handbag,
+glass-vs-mirror via looking_glass, painting/picture, curtain-vs-blinds)
+is now vendored via ``_EXTRA_SYNSETS``; some benign cases were re-verified
+(White/Black person-senses tie the 0.875 color value; team senses tie
+0.875 for five/nine). Every REMAINING known-unvendored sense is listed in
+``KNOWN_UNVENDORED_SENSES`` (dog's cad/frank senses, cat's Caterpillar
+tractor, pen's female-swan, gray's horse, ...); all of those lie in the
+x0.1 downweighted regime, bounding their absolute error at ~0.02 per
+pair. ``exactness_stats`` therefore reports two tiers: ``exact_pair_pct``
+(both words' vendored chains verbatim) and ``strict_exact_pair_pct``
+(additionally, neither word has a registered unvendored sense).
+Full-inventory exactness beyond the registry is NOT claimed — verifying
+it requires the real corpus, which is what tools/audit_wups_vs_nltk.py
+measures on a corpus-ful host.
 
 Quantifying the residue: ``tools/audit_wups_vs_nltk.py`` measures every
 ordered vocabulary pair against REAL NLTK WordNet (on any corpus-ful
@@ -142,6 +157,9 @@ _TIMEPIECE = _DEV + ("instrument", "measuring_instrument", "timepiece")
 _SUPPORT = _DEV + ("support",)
 _RACK = _INSTR + ("support", "framework")
 _SHEETPAPER = _ART + ("sheet", "paper")
+# plumbing_fixture ⊂ fixture ⊂ artifact (WN3.0 — r5 polysemy audit fix:
+# rounds ≤4 hung plumbing_fixture under instrumentality/furnishing)
+_PLUMB = _ART + ("fixture", "plumbing_fixture")
 
 # --- vocabulary: word -> one or more hypernym chains ----------------------
 # (chain EXCLUDES the word itself; the full path is prefix + (word,))
@@ -233,16 +251,27 @@ _V: Dict[str, List[Chain]] = {
     # deliberately more generous than the reference's empty-synsets 0.0
     "trash_can": [_CONT + ("bin",)], "garbage_bin": [_CONT + ("bin",)],
     "bin": [_CONT], "bucket": [_VESSEL], "tray": [_CONT + ("receptacle",)],
-    "sink": [_VESSEL + ("basin",)], "bathtub": [_VESSEL],
-    "toilet": [_INSTR + ("furnishing", "plumbing_fixture")],
+    # sink.n.01 / toilet.n.01 (the commode synset: lemmas "toilet, can,
+    # commode, crapper, pot, potty, stool, throne") ⊂ plumbing_fixture ⊂
+    # fixture ⊂ artifact (WN3.0); pot and stool join that synset through
+    # _EXTRA_SYNSETS below, so pot/stool/toilet pairs score 1.0 as NLTK does
+    "sink": [_PLUMB], "bathtub": [_VESSEL],
+    "toilet": [_PLUMB],
     "faucet": [_DEV + ("regulator",)],
     "plate": [_TABLEWARE + ("flatware",)],
     "dish": [_TABLEWARE + ("crockery",)],
     "knife": [_CUTLERY], "fork": [_CUTLERY], "spoon": [_CUTLERY],
     "chopstick": [_CUTLERY],
     # coverings / textiles / clothing
-    "curtain": [_COVER + ("furnishing_textile",)],
-    "blinds": [_COVER + ("screen",)],
+    # curtain.n.01 has TWO WN3.0 hypernyms — blind.n.03 ("a protective
+    # covering that keeps things out or hinders sight") and furnishing.n.02
+    # — both vendored (r5 polysemy audit; rounds ≤4 used a non-WordNet
+    # "furnishing_textile" node). "blinds" morphy-lemmatizes to blind.n.03
+    # itself, so curtain-vs-blinds is a parent/child 0.941 ≥ 0.925 (no
+    # downweight), as real NLTK scores it.
+    "curtain": [_COVER + ("protective_covering", "blind"),
+                _INSTR + ("furnishing",)],
+    "blind": [_COVER + ("protective_covering",)],
     "towel": [_ART + ("fabric", "piece_of_cloth")],
     "napkin": [_ART + ("fabric", "piece_of_cloth")],
     "tissue": [_ART + ("fabric", "piece_of_cloth")],
@@ -283,8 +312,10 @@ _V: Dict[str, List[Chain]] = {
     "pen": [_WRITING], "pencil": [_WRITING],
     # decorations / misc
     "decoration": [_DECOR], "ornament": [_DECOR],
-    # plaything.n.01 lemmas are "plaything, toy" — "toy" resolves to this
-    # synset via _ALIASES; doll and teddy (teddy_bear) are its children
+    # plaything.n.01 lemmas are "plaything, toy" — "toy" carries this synset
+    # PLUS its toy_dog sense via _EXTRA_SYNSETS (it is not a plain alias:
+    # "plaything" is NOT a lemma of toy_dog.n.01, so the two words have
+    # different sense inventories); doll and teddy_bear are children
     "plaything": [_ART],
     "doll": [_ART + ("plaything",)],
     "teddy_bear": [_ART + ("plaything",)],
@@ -407,7 +438,8 @@ _V: Dict[str, List[Chain]] = {
     "dish_rack": [_RACK + ("rack",)],
     "towel_rack": [_RACK + ("rack",)],
     # textiles / coverings / clothing
-    "shower_curtain": [_COVER + ("furnishing_textile", "curtain")],
+    "shower_curtain": [_COVER + ("protective_covering", "blind", "curtain"),
+                       _INSTR + ("furnishing", "curtain")],
     "tablecloth": [_ART + ("fabric", "piece_of_cloth")],
     "toilet_paper": [_SHEETPAPER],
     "paper_towel": [_SHEETPAPER],
@@ -428,11 +460,14 @@ _V: Dict[str, List[Chain]] = {
     "stairs": [_INSTR + ("stairway",)],
     "railing": [_STRUCT + ("obstruction", "barrier")],
     "banister": [_STRUCT + ("obstruction", "barrier", "railing")],
-    "shower": [_INSTR + ("furnishing", "plumbing_fixture")],
+    "shower": [_PLUMB],
     "pipe": [_INSTR + ("conduit",)],
     "vent": [_STRUCT + ("opening",)],
     "fireplace": [_STRUCT],
-    "mantle": [_STRUCT + ("fireplace",)],
+    # mantel/mantelpiece (lemma "mantle") ⊂ shelf ⊂ support.n.10 in WN3.0 —
+    # NOT a fireplace hyponym (r5 polysemy audit fix); the cloak garment
+    # sense is vendored too (mantle ⊂ cloak ⊂ garment)
+    "mantle": [_SUPPORT + ("shelf",), _CLOTH + ("garment", "cloak")],
     "column": [_STRUCT + ("structural_member",)],
     "beam": [_STRUCT + ("structural_member",)],
     "partition": [_STRUCT],
@@ -495,12 +530,12 @@ _ALIASES: Dict[str, str] = {
     "remote": "remote_control",      # remote_control.n.01: "remote control, remote"
     "bedsheets": "sheet",            # sheet.n.03: "sheet, bed sheet"
     "rug": "carpet",                 # rug.n.01: "rug, carpet, carpeting"
-    "toy": "plaything",              # plaything.n.01: "plaything, toy"
+    "blinds": "blind",               # morphy: blinds -> blind.n.03
     "garbage_can": "trash_can",      # ashcan.n.01: "ashcan, trash_can, garbage_can, ..."
     # plural forms (morphy lemmatizes to the singular's synsets)
     "shelves": "shelf", "books": "book", "flowers": "flower",
     "plants": "plant", "shoes": "shoe", "socks": "sock",
-    "sheets": "sheet", "curtains": "curtain", "toys": "plaything",
+    "sheets": "sheet", "curtains": "curtain", "toys": "toy",
     "keys": "key", "cards": "card", "tiles": "tile",
     "papers": "paper", "fruits": "fruit", "vegetables": "vegetable",
 }
@@ -522,6 +557,77 @@ for _i, _w in enumerate(_NUMBER_WORDS):
     _chain = (_LARGE_INT if _i >= 10 else _NUM) + (_w,)
     _FULL[_w] = [_chain]
     _FULL[str(_i)] = [_chain]
+
+# --- secondary-sense synsets (round-5 polysemy audit) ----------------------
+# The reference's metric maxes over ALL of a word's noun synsets
+# (wup_measure.py:46-51) — including slang and technical senses. These FULL
+# chains (terminal = the synset's canonical WN3.0 name, so two words that
+# share a synset share the terminal and score 1.0) vendor the secondary
+# senses whose omission produced the largest divergences vs real NLTK:
+#
+#   * pot / stool / toilet are all lemmas of the commode synset
+#     ("toilet, can, commode, crapper, pot, potty, stool, throne" ⊂
+#     plumbing_fixture) -> pot-vs-stool is 1.0 in NLTK, NOT a downweighted
+#     cross-category pair. The one full-magnitude case among exact words.
+#   * toy is a lemma of toy_dog.n.01 ⊂ dog -> toy-vs-dog = 28/29 ≈ 0.966,
+#     ABOVE the 0.925 threshold (no downweight).
+#   * board and table share the meals synset ("board, table" ⊂ fare) ->
+#     board-vs-table = 1.0.
+#   * bag and purse share handbag.n.01 ("bag, handbag, pocketbook, purse"
+#     ⊂ bag.n.01) -> bag-vs-purse = 1.0.
+#   * glass is a lemma of looking_glass.n.01 ⊂ mirror -> glass-vs-mirror
+#     = 18/19 ≈ 0.947 (no downweight).
+#   * painting and picture share painting.n.01 ("painting, picture" ⊂
+#     graphic_art) -> painting-vs-picture = 1.0.
+#   * kettle is a lemma of kettledrum ⊂ percussion_instrument ->
+#     kettle-vs-drum = 0.9 (x0.1 regime, but 9x the vessel-path value).
+#   * dog is a lemma of andiron ("andiron, firedog, dog, dog-iron" ⊂
+#     support.n.10) -> dog-vs-shelf = 8/9 ≈ 0.889 (x0.1 regime).
+#   * bird is a lemma of shuttlecock ("shuttlecock, bird, birdie, shuttle"
+#     ⊂ badminton_equipment) -> bird-vs-ball ≈ 0.737 (x0.1 regime).
+#
+# Terminal synset names and the parent/same-synset relations are verbatim
+# WordNet 3.0; intermediate prefix nodes of the secondary chains are
+# best-effort (they only influence cross-pairs against OTHER subtrees, all
+# in the x0.1 regime). Remaining KNOWN unvendored senses are listed in
+# ``KNOWN_UNVENDORED_SENSES`` below.
+_METAL = _PHYS + ("matter", "substance", "chemical_element",
+                  "metallic_element")
+_COMMODE = _PLUMB + ("toilet",)
+_MEALS = _FOOD + ("fare", "board")
+_HANDBAG = _CONT + ("bag", "handbag")
+_PAINTING = _ART + ("creation", "art", "graphic_art", "painting")
+_EXTRA_SYNSETS: Dict[str, List[Chain]] = {
+    "pot": [_COMMODE],
+    "stool": [_COMMODE],
+    "toy": [_ART + ("plaything",),
+            _ANIMAL + ("carnivore", "canine", "dog", "toy_dog")],
+    "table": [_MEALS],
+    "board": [_MEALS],
+    "bag": [_HANDBAG],
+    "purse": [_HANDBAG],
+    "glass": [_DEV + ("reflector", "mirror", "looking_glass")],
+    "painting": [_PAINTING],
+    "picture": [_PAINTING],
+    # metallic-element senses (approximation-grade prefix): silver/gold ⊂
+    # noble_metal siblings -> silver-vs-gold rides the metal path (0.875,
+    # x0.1 regime), not the color path's gray-vs-yellow (0.6); iron Fe ⊂
+    # metallic_element
+    "silver": [_METAL + ("noble_metal", "silver")],
+    "gold": [_METAL + ("noble_metal", "gold")],
+    "iron": [_METAL + ("iron",)],
+    # cup.n.02 (cupful) ⊂ containerful ⊂ indefinite_quantity ⊂ measure —
+    # the sense that dominates cup-vs-number pairs under real NLTK
+    "cup": [_ABST + ("measure", "indefinite_quantity", "containerful",
+                     "cup")],
+    "kettle": [_DEV + ("musical_instrument", "percussion_instrument",
+                       "kettledrum")],
+    "dog": [_DEV + ("support", "andiron")],
+    "bird": [_EQUIP + ("sports_equipment", "badminton_equipment",
+                       "shuttlecock")],
+}
+for _w, _chains in _EXTRA_SYNSETS.items():
+    _FULL.setdefault(_w, []).extend(_chains)
 
 # --- provenance ------------------------------------------------------------
 # Words whose vendored chains are VERBATIM WordNet 3.0 hypernym paths
@@ -585,7 +691,11 @@ _EXACT = frozenset(
     # machine; vacuum_cleaner ⊂ home_appliance
     + ["mirror", "keyboard", "remote_control", "remote", "faucet",
        "heater", "tray", "wallet", "bathtub", "wall_clock", "stapler",
-       "vacuum_cleaner"])
+       "vacuum_cleaner"]
+    # round-5 polysemy audit: toilet's primary chain is the verbatim
+    # commode synset ⊂ plumbing_fixture ⊂ fixture (its room/grooming
+    # senses are registered in KNOWN_UNVENDORED_SENSES)
+    + ["toilet"])
 
 
 def provenance(word: str) -> str:
@@ -595,9 +705,67 @@ def provenance(word: str) -> str:
         return "wordnet-3.0-exact"
     if word in NO_NOUN_SYNSET:
         return "no-noun-synset"
-    if _ALIASES.get(word, word) in _V or word in _FULL:
+    if _ALIASES.get(word, word) in _FULL:
         return "approximation"
     return "oov"
+
+
+# --- known UNVENDORED secondary senses (round-5 polysemy audit) -------------
+# The reference maxes over ALL noun synsets, so a word's score can ride a
+# slang or technical sense this module does not vendor. Each entry below is
+# a WordNet 3.0 sense we know exists but chose not to vendor; for every one
+# the affected pairs lie in the sub-threshold x0.1 regime (max absolute
+# error ≤ ~0.09 before downweight, ≤ ~0.009..0.02 after), because every
+# full-magnitude (≥ 0.925) case found by the audit IS vendored in
+# ``_EXTRA_SYNSETS``. A word appearing here can still be ``_EXACT`` — its
+# vendored chains are verbatim — but pairs against the named subtrees may
+# UNDERESTIMATE real NLTK within the downweighted regime.
+# tools/audit_wups_vs_nltk.py verifies this registry on a corpus-ful host.
+KNOWN_UNVENDORED_SENSES: Dict[str, Tuple[str, ...]] = {
+    "fork": ("farm fork ⊂ tool (raises fork-vs-{pen,pencil,scissors})",),
+    "spoon": ("golf wood 'spoon' ⊂ golf equipment (raises spoon-vs-ball)",),
+    "mat": ("gym mat ⊂ sports_equipment (raises mat-vs-ball)",),
+    "bench": ("'bench' as a workbench lemma ⊂ work_table "
+              "(raises bench-vs-{table,desk})",),
+    "box": ("box/boxwood shrub ⊂ shrub ⊂ woody_plant "
+            "(raises box-vs-{tree,plant})",),
+    "gray": ("gray horse ⊂ mount ⊂ horse (raises gray-vs-{dog,cat})",),
+    "pen": ("female swan 'pen' ⊂ swan (raises pen-vs-bird)",),
+    "drum": ("drumfish ⊂ sciaenid fish (raises drum-vs-fish)",),
+    "machine": ("lemma of car.n.01 ⊂ motor_vehicle "
+                "(raises machine-vs-{bicycle,bike})",),
+    "chair": ("electric_chair ⊂ instrument_of_execution ⊂ instrument "
+              "(raises chair-vs-device words)",
+              "chairperson ⊂ presiding_officer (person subtree)"),
+    "table": ("tabular_array ⊂ arrangement (abstraction side)",),
+    "red": ("lemma of the Bolshevik synset ⊂ radical (person subtree; "
+            "pairs vs other words' person senses)",),
+    "dog": ("cad/frump person senses and frank/hotdog food sense "
+            "(person and food subtrees)",),
+    "cat": ("guy/hombre ⊂ man (person subtree)",
+            "big-cat sense structure differences",
+            "Caterpillar tractor ⊂ wheeled vehicle "
+            "(raises cat-vs-{bicycle,bike})",
+            "cat-o'-nine-tails ⊂ whip"),
+    "computer": ("human calculator ⊂ expert (person subtree)",),
+    "bird": ("slang 'bird' ⊂ woman (person subtree)",),
+    "toy": ("miniature/replica sense ⊂ copy ⊂ representation",),
+    "toilet": ("lavatory room sense ⊂ room", "grooming act sense"),
+    "watch": ("duty-period sense ⊂ time_period (measure subtree; "
+              "raises watch-vs-number words)",),
+    "white": ("egg-white/albumen sense (food subtree; raises "
+              "white-vs-food-side chains)",
+              "White person-sense (ties the 0.875 color value for "
+              "white-vs-black; person subtree otherwise)",),
+    "ball": ("formal-dance sense ⊂ party (event subtree)",
+             "testis body-part sense"),
+}
+
+
+def unvendored_senses(word: str) -> Tuple[str, ...]:
+    """Known WordNet 3.0 senses of ``word`` this module does not vendor
+    (empty tuple when none are known). See KNOWN_UNVENDORED_SENSES."""
+    return KNOWN_UNVENDORED_SENSES.get(_ALIASES.get(word, word), ())
 
 
 # --- per-word documented reasons for non-exact words (VERDICT r4 #3:
@@ -648,14 +816,21 @@ def non_exact_reason(word: str) -> Optional[str]:
 
 def exactness_stats(words: Sequence[str]) -> Dict[str, float]:
     """Share of ``words`` (and of unordered word pairs) whose WUPS values
-    are believed reference-exact (both sides in ``_EXACT``)."""
+    are believed reference-exact (both sides in ``_EXACT``), plus the
+    STRICT variant: pairs where additionally neither side carries a known
+    unvendored secondary sense (KNOWN_UNVENDORED_SENSES), i.e. pairs whose
+    value cannot even be perturbed within the x0.1 regime by WordNet
+    polysemy this module knows about but does not vendor."""
     n = len(words)
     e = sum(1 for w in words if w in _EXACT)
+    s = sum(1 for w in words if w in _EXACT and not unvendored_senses(w))
     return {
         "words": n,
         "exact_words": e,
         "exact_word_pct": 100.0 * e / n if n else 0.0,
         "exact_pair_pct": 100.0 * e * e / (n * n) if n else 0.0,
+        "sense_complete_exact_words": s,
+        "strict_exact_pair_pct": 100.0 * s * s / (n * n) if n else 0.0,
     }
 
 
@@ -688,4 +863,5 @@ def max_wup(word_a: str, word_b: str) -> float:
 
 
 def vocabulary() -> List[str]:
-    return sorted(set(_V.keys()) | set(_ALIASES.keys()))
+    return sorted(set(_V.keys()) | set(_ALIASES.keys())
+                  | set(_EXTRA_SYNSETS.keys()))

@@ -95,14 +95,35 @@ def test_audit_catches_diverging_chain():
 def test_audit_flags_false_exact_claim():
     table = _mirror_table(
         WORDS + list(mini_wordnet._ALIASES) + list(mini_wordnet._ALIASES.values()))
-    # 'red' IS claimed wordnet-3.0-exact; a corpus that disagrees must
-    # surface it as an exact-claim violation (red-vs-blue both exact).
-    table["red"] = [("entity", "abstraction", "attribute", "property",
-                     "visual_property", "color", "achromatic_color", "red")]
+    # 'blue' IS claimed wordnet-3.0-exact and carries NO registered
+    # unvendored sense; a corpus that disagrees must surface it as an
+    # exact-claim violation (blue-vs-white both exact).
+    assert mini_wordnet.unvendored_senses("blue") == ()
+    assert mini_wordnet.unvendored_senses("desk") == ()
+    # a corpus where 'blue' sits in the furniture subtree diverges against
+    # desk/sofa/lamp — unregistered exact words, so a TRUE claim violation
+    table["blue"] = [mini_wordnet.synsets("desk")[0][:-1] + ("blue",)]
     rep = audit_mod.audit(StubWordnet(table), words=WORDS)
     assert rep["exact_claim_violations"], "false exact claim not caught"
     pairs = {(o["a"], o["b"]) for o in rep["exact_claim_violations"]}
-    assert any("red" in p for p in pairs)
+    assert any("blue" in p for p in pairs)
+
+
+def test_audit_routes_registered_word_divergence_to_residue():
+    table = _mirror_table(
+        WORDS + list(mini_wordnet._ALIASES) + list(mini_wordnet._ALIASES.values()))
+    # 'red' is exact but HAS a KNOWN_UNVENDORED_SENSES entry (Bolshevik
+    # person sense): a corpus where red scores higher than the vendored max
+    # against another exact word is the DOCUMENTED residue, not a claim
+    # violation — exactly how the round-5 registry is meant to be read.
+    assert mini_wordnet.unvendored_senses("red") != ()
+    table["red"] = table["red"] + [
+        ("entity", "physical_entity", "object", "whole", "living_thing",
+         "organism", "person", "radical", "red")]
+    rep = audit_mod.audit(StubWordnet(table), words=WORDS)
+    assert rep["exact_claim_violations"] == []
+    assert any("red" in (o["a"], o["b"])
+               for o in rep["registered_sense_residue"])
 
 
 def test_audit_flags_alias_nns_and_coverage():

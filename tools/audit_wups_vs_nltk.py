@@ -53,6 +53,22 @@ from t5_resnet_vqa_tpu.eval import mini_wordnet
 
 THRESHOLD = 0.925  # reference wup_measure.py:3 similarity_threshold
 
+# round-5 polysemy-audit claims, verified against real NLTK by audit() §6:
+# word pairs that share a WordNet 3.0 synset as lemmas (NLTK wup == 1.0) ...
+SAME_SYNSET_CLAIMS = [
+    ("pot", "stool"), ("pot", "toilet"), ("stool", "toilet"),  # commode
+    ("board", "table"),       # the meals synset ("board, table" ⊂ fare)
+    ("bag", "purse"),         # handbag.n.01
+    ("painting", "picture"),  # painting.n.01
+]
+# ... and vendored cross-synset secondary senses that clear the 0.925
+# full-weight line (toy ⊂ dog via toy_dog; glass ⊂ mirror via
+# looking_glass; blinds -> blind.n.03 = curtain's hypernym; mantel ⊂ shelf)
+FULL_WEIGHT_CLAIMS = [
+    ("toy", "dog"), ("glass", "mirror"), ("curtain", "blinds"),
+    ("mantle", "shelf"), ("shower_curtain", "curtain"),
+]
+
 
 def _nltk_wup(wn, a: str, b: str) -> float:
     """The reference's wup_measure on real WordNet (wup_measure.py:31-60):
@@ -123,11 +139,21 @@ def audit(wn, words: Optional[Sequence[str]] = None, top: int = 40) -> Dict:
     offenders.sort(key=lambda o: -o["delta"])
 
     # --- provenance-claim audit ------------------------------------------
-    # 1. _EXACT claim: every exact-exact pair must be NLTK-identical.
+    # 1. _EXACT claim, two tiers (round-5 polysemy audit): a divergence on
+    #    an exact-exact pair where NEITHER word carries a
+    #    KNOWN_UNVENDORED_SENSES entry is a true claim violation; pairs
+    #    touching a registered word are the DOCUMENTED sub-threshold
+    #    residue (reported separately so its bound — NLTK may exceed mini
+    #    by at most ~0.02 within the x0.1 regime — can be re-checked).
     exact = [w for w in words
              if mini_wordnet.provenance(w) == "wordnet-3.0-exact"]
-    exact_violations = [
+    exact_exact = [
         o for o in offenders if o["a"] in exact and o["b"] in exact]
+    exact_violations = [
+        o for o in exact_exact
+        if not mini_wordnet.unvendored_senses(o["a"])
+        and not mini_wordnet.unvendored_senses(o["b"])]
+    registered_residue = [o for o in exact_exact if o not in exact_violations]
     # 2. alias claim: alias and canonical share a synset -> NLTK scores 1.0.
     alias_violations = []
     for alias, canon in sorted(mini_wordnet._ALIASES.items()):
@@ -150,6 +176,33 @@ def audit(wn, words: Optional[Sequence[str]] = None, top: int = 40) -> Dict:
     non_lemma_violations = [
         w for w in sorted(mini_wordnet._NON_LEMMA_NORMALIZATION)
         if wn.synsets(w, pos="n")]
+    # 6. round-5 polysemy-audit claims (_EXTRA_SYNSETS): same-synset lemma
+    #    collisions must score exactly 1.0 under NLTK; vendored cross-synset
+    #    secondary senses must clear the 0.925 full-weight line. Claims are
+    #    skipped (not failed) when the injected corpus lacks the words, so
+    #    the stub-tested mirror corpora don't need full coverage.
+    extra_synset_violations = []
+    for a, b in SAME_SYNSET_CLAIMS:
+        if not (wn.synsets(a, pos="n") and wn.synsets(b, pos="n")):
+            continue
+        r = _nltk_wup(wn, a, b)
+        if abs(r - 1.0) > 1e-6:
+            extra_synset_violations.append(
+                {"a": a, "b": b, "claim": "same-synset", "nltk": round(r, 6)})
+    for a, b in FULL_WEIGHT_CLAIMS:
+        if not (wn.synsets(a, pos="n") and wn.synsets(b, pos="n")):
+            continue
+        r = _nltk_wup(wn, a, b)
+        if r < THRESHOLD:
+            extra_synset_violations.append(
+                {"a": a, "b": b, "claim": ">=0.925", "nltk": round(r, 6)})
+    # 7. KNOWN_UNVENDORED_SENSES sanity: every registered word must really
+    #    be polysemous under NLTK (>= 2 noun synsets) — a registry entry on
+    #    a mono-sense word is stale documentation.
+    registry_violations = [
+        w for w in sorted(mini_wordnet.KNOWN_UNVENDORED_SENSES)
+        if wn.synsets(w, pos="n")
+        and len(wn.synsets(w, pos="n")) < 2]
 
     worst_words = sorted(per_word_max.items(), key=lambda kv: -kv[1])
     return {
@@ -159,9 +212,12 @@ def audit(wn, words: Optional[Sequence[str]] = None, top: int = 40) -> Dict:
         "mean_abs_delta": round(sum_abs / n_pairs, 6) if n_pairs else 0.0,
         "max_abs_delta": round(max_abs, 6),
         "exact_claim_violations": exact_violations,
+        "registered_sense_residue": registered_residue,
         "alias_claim_violations": alias_violations,
         "no_noun_synset_violations": nns_violations,
         "non_lemma_bucket_violations": non_lemma_violations,
+        "extra_synset_violations": extra_synset_violations,
+        "unvendored_registry_violations": registry_violations,
         "oov_but_in_wordnet": oov_but_real,
         "worst_words": [
             {"word": w, "max_abs_delta": round(d, 6)}
@@ -197,7 +253,8 @@ def main(argv=None):
                       if not isinstance(v, list)}, indent=1))
     ok = (not report["exact_claim_violations"]
           and not report["alias_claim_violations"]
-          and not report["no_noun_synset_violations"])
+          and not report["no_noun_synset_violations"]
+          and not report["extra_synset_violations"])
     print("provenance claims:", "ALL HOLD" if ok else "VIOLATIONS (see report)")
     return 0 if ok else 1
 
