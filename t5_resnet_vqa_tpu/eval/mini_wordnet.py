@@ -53,7 +53,7 @@ stapler, vacuum_cleaner) to 152, and the round-5 polysemy audit (commode
 chain) promoted toilet — 153 words = 41.7% of the 367 audited
 answer-space words and 17.4% of answer pairs (rounds ≤4: 14.4% / 2.1%);
 strict tier (no known unvendored secondary sense on either side, see the
-polysemy caveat below): 130 words / 12.5% of pairs.
+polysemy caveat below): 126 words / 11.8% of pairs.
 No answer-frequency data exists in this zero-egress image, so no
 frequency-weighted share is claimed; the categories covered exactly
 (colors, counts, furniture, appliances, structure-adjacent objects) are
@@ -188,7 +188,10 @@ _V: Dict[str, List[Chain]] = {
     "bookshelf": [_SUPPORT + ("shelf",)],
     "drawer": [_CONT], "counter": [_FURN + ("table",)],
     "lamp": [_DEV + ("source_of_illumination",)],
-    "chandelier": [_DEV + ("source_of_illumination", "lamp")],
+    # chandelier.n.01 ⊂ lighting_fixture ⊂ fixture ⊂ artifact in WN3.0 —
+    # NOT a lamp hyponym (r5 polysemy audit: the old lamp-child chain
+    # OVERestimated chandelier-vs-lamp 10x by crossing the 0.925 line)
+    "chandelier": [_ART + ("fixture", "lighting_fixture")],
     # light.n.02 ("light, light_source") is a SIBLING of lamp under
     # source_of_illumination in WN3.0, not a lamp hyponym (r5 fix); the
     # illumination-effect sense ⊂ visual_property (sibling of color) is
@@ -304,9 +307,14 @@ _V: Dict[str, List[Chain]] = {
     "notebook": [_PAPER + ("publication", "book")],
     "paper": [_ART + ("sheet",)], "poster": [_ART + ("sheet",)],
     "calendar": [_ART + ("sheet",)], "map": [_ART + ("sheet",)],
+    # photograph.n.01 ⊂ representation.n.02 in WN3.0 — a SIBLING of the
+    # picture/image synset, not its child (r5 polysemy audit: the old
+    # picture-child chain OVERestimated photo-vs-picture 10x, 0.947 full
+    # weight where NLTK scores ~0.0875 downweighted); painting's only
+    # vendored chains are the {painting, picture} shared synset + its
+    # graphic_art path (_EXTRA_SYNSETS)
     "picture": [_PAPER + ("representation",)],
-    "photograph": [_PAPER + ("representation", "picture")],
-    "painting": [_PAPER + ("representation", "picture")],
+    "photograph": [_PAPER + ("representation",)],
     "board": [_SURFACE], "whiteboard": [_SURFACE + ("board",)],
     "blackboard": [_SURFACE + ("board",)],
     "pen": [_WRITING], "pencil": [_WRITING],
@@ -468,6 +476,8 @@ _V: Dict[str, List[Chain]] = {
     # NOT a fireplace hyponym (r5 polysemy audit fix); the cloak garment
     # sense is vendored too (mantle ⊂ cloak ⊂ garment)
     "mantle": [_SUPPORT + ("shelf",), _CLOTH + ("garment", "cloak")],
+    # (mantle is ALSO a curtain.n.01 lemma — "curtain, drape, drapery,
+    # mantle, pall" — vendored via _EXTRA_SYNSETS: mantle-vs-curtain = 1.0)
     "column": [_STRUCT + ("structural_member",)],
     "beam": [_STRUCT + ("structural_member",)],
     "partition": [_STRUCT],
@@ -609,6 +619,14 @@ _EXTRA_SYNSETS: Dict[str, List[Chain]] = {
     "glass": [_DEV + ("reflector", "mirror", "looking_glass")],
     "painting": [_PAINTING],
     "picture": [_PAINTING],
+    # mantle is a lemma of curtain.n.01 ("curtain, drape, drapery, mantle,
+    # pall" ⊂ blind.n.03): identical full chain to curtain's -> 1.0
+    "mantle": [_COVER + ("protective_covering", "blind", "curtain")],
+    # notebook/notebook_computer ⊂ portable_computer (the laptop sibling):
+    # notebook-vs-laptop = 24/26 ≈ 0.923, just UNDER the 0.925 line
+    "notebook": [_MACH + ("computer", "digital_computer",
+                          "personal_computer", "portable_computer",
+                          "notebook")],
     # metallic-element senses (approximation-grade prefix): silver/gold ⊂
     # noble_metal siblings -> silver-vs-gold rides the metal path (0.875,
     # x0.1 regime), not the color path's gray-vs-yellow (0.6); iron Fe ⊂
@@ -753,6 +771,11 @@ KNOWN_UNVENDORED_SENSES: Dict[str, Tuple[str, ...]] = {
     "toilet": ("lavatory room sense ⊂ room", "grooming act sense"),
     "watch": ("duty-period sense ⊂ time_period (measure subtree; "
               "raises watch-vs-number words)",),
+    "plant": ("industrial-plant sense ⊂ building_complex ⊂ structure "
+              "(raises plant-vs-structure words)",),
+    "bed": ("machine-bed foundation sense ⊂ foundation ⊂ support "
+            "(device subtree)", "stream-bed / flower-bed natural senses"),
+    "tree": ("tree-diagram sense ⊂ plane_figure (abstraction side)",),
     "white": ("egg-white/albumen sense (food subtree; raises "
               "white-vs-food-side chains)",
               "White person-sense (ties the 0.875 color value for "

@@ -368,6 +368,17 @@ def test_wups_wordnet_exact_value_table():
         ("mantle", "shelf", 2 * 9 / 19),
         # toilet and sink are plumbing_fixture siblings: 0.875, x0.1
         ("toilet", "sink", 2 * 7 / 16 * 0.1),
+        # mantle is ALSO a curtain.n.01 lemma ("curtain, drape, drapery,
+        # mantle, pall") -> same synset, 1.0
+        ("mantle", "curtain", 1.0),
+        # photograph ⊂ representation is a SIBLING of picture/image, not
+        # its child: 0.9 -> x0.1 (the old child chain said 0.947 at full
+        # weight — a 10x overestimate vs NLTK)
+        ("photograph", "picture", 2 * 9 / 20 * 0.1),
+        ("photo", "picture", 2 * 9 / 20 * 0.1),
+        # notebook/notebook_computer ⊂ portable_computer — laptop's
+        # sibling at 24/26 ≈ 0.923, just UNDER the 0.925 line -> x0.1
+        ("notebook", "laptop", 2 * 12 / 26 * 0.1),
     ]
     assert len(cases) >= 100, len(cases)
     for a, b, want in cases:
@@ -399,8 +410,8 @@ def test_wups_provenance_api():
     assert stats["exact_words"] == 153
     assert stats["exact_word_pct"] == pytest.approx(41.69, abs=0.01)
     assert stats["exact_pair_pct"] == pytest.approx(17.38, abs=0.01)
-    assert stats["sense_complete_exact_words"] == 130
-    assert stats["strict_exact_pair_pct"] == pytest.approx(12.55, abs=0.01)
+    assert stats["sense_complete_exact_words"] == 126
+    assert stats["strict_exact_pair_pct"] == pytest.approx(11.79, abs=0.01)
 
 
 def test_wups_every_non_exact_word_has_a_documented_reason():

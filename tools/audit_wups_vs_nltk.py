@@ -60,6 +60,8 @@ SAME_SYNSET_CLAIMS = [
     ("board", "table"),       # the meals synset ("board, table" ⊂ fare)
     ("bag", "purse"),         # handbag.n.01
     ("painting", "picture"),  # painting.n.01
+    ("mantle", "curtain"),    # curtain.n.01 ("curtain, drape, drapery,
+                              #  mantle, pall")
 ]
 # ... and vendored cross-synset secondary senses that clear the 0.925
 # full-weight line (toy ⊂ dog via toy_dog; glass ⊂ mirror via
