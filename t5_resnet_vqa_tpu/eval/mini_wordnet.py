@@ -53,7 +53,7 @@ stapler, vacuum_cleaner) to 152, and the round-5 polysemy audit (commode
 chain) promoted toilet — 153 words = 41.7% of the 367 audited
 answer-space words and 17.4% of answer pairs (rounds ≤4: 14.4% / 2.1%);
 strict tier (no known unvendored secondary sense on either side, see the
-polysemy caveat below): 126 words / 11.8% of pairs.
+polysemy caveat below): 125 words / 11.6% of pairs.
 No answer-frequency data exists in this zero-egress image, so no
 frequency-weighted share is claimed; the categories covered exactly
 (colors, counts, furniture, appliances, structure-adjacent objects) are
@@ -213,6 +213,10 @@ _V: Dict[str, List[Chain]] = {
     "heater": [_DEV], "fan": [_DEV],
     "radiator": [_DEV + ("heater",)],
     "treadmill": [_MACH + ("exercise_device",)],
+    # sewing_machine ⊂ textile_machine ⊂ machine (WN3.0 — r5 audit: the
+    # direct machine-child chain overestimated vs-machine 10x by crossing
+    # the 0.925 line: 0.941 full weight where NLTK gives 0.9 x0.1)
+    "sewing_machine": [_MACH + ("textile_machine",)],
     "exercise_equipment": [_MACH + ("exercise_device",)],
     # electronics — television_receiver ⊂ receiver ⊂ set.n.13 ⊂
     # electronic_equipment (WN3.0)
@@ -234,7 +238,10 @@ _V: Dict[str, List[Chain]] = {
     "remote_control": [_DEV],
     "switch": [_DEV], "outlet": [_DEV], "charger": [_DEV],
     "clock": [_TIMEPIECE],
-    "cable": [_INSTR + ("conductor", "wire")],
+    # cable.n.02 ("cable, line, transmission_line") ⊂ conductor — a
+    # SIBLING of wire.n.01, not its child (r5 audit: the wire-child chain
+    # said 0.941 full weight; NLTK gives 0.889 x0.1)
+    "cable": [_INSTR + ("conductor",)],
     "wire": [_INSTR + ("conductor",)],
     # containers / vessels / kitchenware
     "bottle": [_VESSEL], "jar": [_VESSEL],
@@ -387,7 +394,9 @@ _V: Dict[str, List[Chain]] = {
     "bunk_bed": [_FURN + ("bedroom_furniture", "bed")],
     "bookcase": [_FURN],
     "cupboard": [_FURN + ("cabinet",)],
-    "sideboard": [_FURN + ("cabinet",)],
+    # sideboard's WN3.0 sense IS the buffet synset ("buffet, counter,
+    # sideboard" ⊂ furniture) — vendored via _EXTRA_SYNSETS; the old
+    # cabinet-child chain overestimated vs-cabinet 10x (0.947 full weight)
     "file_cabinet": [_FURN + ("cabinet",)],
     "countertop": [_FURN + ("table", "counter")],
     "rocking_chair": [_SEAT + ("chair",)],
@@ -408,7 +417,6 @@ _V: Dict[str, List[Chain]] = {
     "air_conditioner": [_APPL],
     "hair_dryer": [_APPL + ("dryer",)],
     "ceiling_fan": [_DEV + ("fan",)],   # follows fan.n.01 ⊂ device (r5)
-    "sewing_machine": [_MACH],
     "stapler": [_MACH],
     "ironing_board": [_SURFACE + ("board",)],
     # electronics
@@ -428,8 +436,12 @@ _V: Dict[str, List[Chain]] = {
     # containers / kitchenware
     "purse": [_CONT + ("bag",)],
     "wallet": [_CONT + ("case",)],
-    "waste_basket": [_CONT + ("bin",)],
-    "laundry_basket": [_CONT + ("basket",)],
+    # wastebasket ("wastepaper_basket, wastebasket, waste_basket,
+    # circular_file") ⊂ basket in WN3.0, NOT ⊂ bin (r5 audit);
+    # laundry_basket ("clothes_hamper, laundry_basket, clothes_basket")
+    # ⊂ hamper ⊂ basket
+    "waste_basket": [_CONT + ("basket",)],
+    "laundry_basket": [_CONT + ("basket", "hamper")],
     "hamper": [_CONT + ("basket",)],
     "container": [_INSTR],
     "folder": [_CONT],
@@ -458,7 +470,9 @@ _V: Dict[str, List[Chain]] = {
     "scarf": [_CLOTH + ("garment",)],
     "tie": [_CLOTH + ("garment",)],
     "apron": [_CLOTH + ("garment",)],
-    "belt": [_CLOTH],
+    # belt ⊂ accessory ⊂ clothing (r5 audit: the direct clothing-child
+    # chain said 0.933 full weight; NLTK gives 0.875 x0.1)
+    "belt": [_CLOTH + ("accessory",)],
     "slippers": [_CLOTH + ("footwear", "shoe")],
     "sock": [_CLOTH + ("footwear",)],
     "cloth": [_ART + ("fabric",)],
@@ -613,7 +627,6 @@ _EXTRA_SYNSETS: Dict[str, List[Chain]] = {
     "toy": [_ART + ("plaything",),
             _ANIMAL + ("carnivore", "canine", "dog", "toy_dog")],
     "table": [_MEALS],
-    "board": [_MEALS],
     "bag": [_HANDBAG],
     "purse": [_HANDBAG],
     "glass": [_DEV + ("reflector", "mirror", "looking_glass")],
@@ -643,6 +656,17 @@ _EXTRA_SYNSETS: Dict[str, List[Chain]] = {
     "dog": [_DEV + ("support", "andiron")],
     "bird": [_EQUIP + ("sports_equipment", "badminton_equipment",
                        "shuttlecock")],
+    # board is a lemma of dining_table.n.01 ("dining_table, board"):
+    # board-vs-dining_table = 1.0 (the chain is dining_table's own)
+    "board": [_MEALS, _FURN + ("table", "dining_table")],
+    # counter and sideboard are both lemmas of buffet.n.01
+    # ("buffet, counter, sideboard" ⊂ furniture)
+    "counter": [_FURN + ("buffet",)],
+    "sideboard": [_FURN + ("buffet",)],
+    # file is a lemma of file.n.03 ("file, file_cabinet, filing_cabinet"
+    # ⊂ cabinet) — the chain is file_cabinet's own, so
+    # file-vs-file_cabinet = 1.0 and file-vs-cabinet = 0.947
+    "file": [_FURN + ("cabinet", "file_cabinet")],
 }
 for _w, _chains in _EXTRA_SYNSETS.items():
     _FULL.setdefault(_w, []).extend(_chains)
@@ -776,6 +800,9 @@ KNOWN_UNVENDORED_SENSES: Dict[str, Tuple[str, ...]] = {
     "bed": ("machine-bed foundation sense ⊂ foundation ⊂ support "
             "(device subtree)", "stream-bed / flower-bed natural senses"),
     "tree": ("tree-diagram sense ⊂ plane_figure (abstraction side)",),
+    "closet": ("cupboard sense ('cupboard, closet') — raises "
+               "closet-vs-cupboard toward 1.0",
+               "water-closet sense (raises closet-vs-toilet)",),
     "white": ("egg-white/albumen sense (food subtree; raises "
               "white-vs-food-side chains)",
               "White person-sense (ties the 0.875 color value for "
@@ -787,7 +814,13 @@ KNOWN_UNVENDORED_SENSES: Dict[str, Tuple[str, ...]] = {
 
 def unvendored_senses(word: str) -> Tuple[str, ...]:
     """Known WordNet 3.0 senses of ``word`` this module does not vendor
-    (empty tuple when none are known). See KNOWN_UNVENDORED_SENSES."""
+    (empty tuple when none are known). The word's own entry wins over its
+    alias-canonical entry (a sense can belong to the alias FORM only:
+    closet's cupboard sense is not wardrobe's). See
+    KNOWN_UNVENDORED_SENSES."""
+    own = KNOWN_UNVENDORED_SENSES.get(word)
+    if own is not None:
+        return own
     return KNOWN_UNVENDORED_SENSES.get(_ALIASES.get(word, word), ())
 
 

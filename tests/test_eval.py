@@ -379,6 +379,24 @@ def test_wups_wordnet_exact_value_table():
         # notebook/notebook_computer ⊂ portable_computer — laptop's
         # sibling at 24/26 ≈ 0.923, just UNDER the 0.925 line -> x0.1
         ("notebook", "laptop", 2 * 12 / 26 * 0.1),
+        # wave-4 same-synset collisions: "board" is a dining_table.n.01
+        # lemma; "counter"/"sideboard" are buffet.n.01 lemmas; "file" is a
+        # file.n.03 ("file, file_cabinet, filing_cabinet") lemma
+        ("board", "dining_table", 1.0),
+        ("counter", "sideboard", 1.0),
+        ("file", "file_cabinet", 1.0),
+        ("file", "cabinet", 2 * 9 / 19),
+        # wave-4 overestimate fixes (old full-weight values -> x0.1):
+        # sewing_machine ⊂ textile_machine ⊂ machine; cable ⊂ conductor
+        # (wire's sibling); sideboard-vs-cabinet via buffet ⊂ furniture;
+        # belt ⊂ accessory ⊂ clothing; waste_basket ⊂ basket (not bin);
+        # laundry_basket ⊂ hamper ⊂ basket
+        ("sewing_machine", "machine", 2 * 8 / 18 * 0.1),
+        ("cable", "wire", 2 * 7 / 16 * 0.1),
+        ("sideboard", "cabinet", 2 * 8 / 18 * 0.1),
+        ("belt", "clothing", 2 * 7 / 16 * 0.1),
+        ("waste_basket", "basket", 2 * 8 / 17),
+        ("laundry_basket", "hamper", 2 * 9 / 19),
     ]
     assert len(cases) >= 100, len(cases)
     for a, b, want in cases:
@@ -410,8 +428,8 @@ def test_wups_provenance_api():
     assert stats["exact_words"] == 153
     assert stats["exact_word_pct"] == pytest.approx(41.69, abs=0.01)
     assert stats["exact_pair_pct"] == pytest.approx(17.38, abs=0.01)
-    assert stats["sense_complete_exact_words"] == 126
-    assert stats["strict_exact_pair_pct"] == pytest.approx(11.79, abs=0.01)
+    assert stats["sense_complete_exact_words"] == 125
+    assert stats["strict_exact_pair_pct"] == pytest.approx(11.60, abs=0.01)
 
 
 def test_wups_every_non_exact_word_has_a_documented_reason():

@@ -62,6 +62,9 @@ SAME_SYNSET_CLAIMS = [
     ("painting", "picture"),  # painting.n.01
     ("mantle", "curtain"),    # curtain.n.01 ("curtain, drape, drapery,
                               #  mantle, pall")
+    ("board", "dining_table"),    # dining_table.n.01 ("dining_table, board")
+    ("counter", "sideboard"),     # buffet.n.01 ("buffet, counter, sideboard")
+    ("file", "file_cabinet"),     # file.n.03 ("file, file_cabinet, ...")
 ]
 # ... and vendored cross-synset secondary senses that clear the 0.925
 # full-weight line (toy ⊂ dog via toy_dog; glass ⊂ mirror via
