@@ -50,10 +50,11 @@ bedclothes, core fauna/flora) grew the set from 53 to 140 words, a
 second round-5 batch of single-noun-sense promotions (mirror, keyboard,
 remote_control/remote, faucet, heater, tray, wallet, bathtub, wall_clock,
 stapler, vacuum_cleaner) to 152, and the round-5 polysemy audit (commode
-chain) promoted toilet — 153 words = 41.7% of the 367 audited
-answer-space words and 17.4% of answer pairs (rounds ≤4: 14.4% / 2.1%);
+chain) promoted toilet and demoted bedsheets (a false 1.0 alias claim:
+"bedsheet" is not a WN3.0 lemma) — 152 words = 41.4% of the 367 audited
+answer-space words and 17.2% of answer pairs (rounds ≤4: 14.4% / 2.1%);
 strict tier (no known unvendored secondary sense on either side, see the
-polysemy caveat below): 125 words / 11.6% of pairs.
+polysemy caveat below): 124 words / 11.4% of pairs.
 No answer-frequency data exists in this zero-egress image, so no
 frequency-weighted share is claimed; the categories covered exactly
 (colors, counts, furniture, appliances, structure-adjacent objects) are
@@ -288,6 +289,11 @@ _V: Dict[str, List[Chain]] = {
     # bedclothes ⊂ cloth_covering ⊂ covering (WN3.0)
     "blanket": [_COVER + ("cloth_covering", "bedclothes")],
     "sheet": [_COVER + ("cloth_covering", "bedclothes")],
+    # bedsheets: NOT a WN3.0 lemma (morphy's "bedsheet" is not in the
+    # index; the synset lemma is "bed_sheet") — generous sheet-child
+    # chain, documented in the non-lemma bucket (the reference scores it
+    # 0.0 via empty synsets)
+    "bedsheets": [_COVER + ("cloth_covering", "bedclothes", "sheet")],
     # pillow ⊂ cushion ⊂ padding ⊂ artifact (WN3.0 — not bedclothes)
     "pillow": [_ART + ("padding", "cushion")],
     "cushion": [_ART + ("padding",)],
@@ -552,7 +558,10 @@ _ALIASES: Dict[str, str] = {
     "phone": "telephone",            # telephone.n.01: "telephone, phone"
     "bike": "bicycle",               # bicycle.n.01: "bicycle, bike, wheel, cycle"
     "remote": "remote_control",      # remote_control.n.01: "remote control, remote"
-    "bedsheets": "sheet",            # sheet.n.03: "sheet, bed sheet"
+    # NOTE: "bedsheets" is deliberately NOT an alias — morphy gives
+    # "bedsheet", which is not a WordNet 3.0 lemma (sheet.n.03's lemmas
+    # are "sheet, bed_sheet"), so the reference scores it 0.0; it carries
+    # a documented-generous chain in _V instead (non-lemma bucket).
     "rug": "carpet",                 # rug.n.01: "rug, carpet, carpeting"
     "blinds": "blind",               # morphy: blinds -> blind.n.03
     "garbage_can": "trash_can",      # ashcan.n.01: "ashcan, trash_can, garbage_can, ..."
@@ -721,7 +730,7 @@ _EXACT = frozenset(
        "ball", "shelf", "shelves", "bookshelf"]
     # floor covers, cushions/bedclothes, cloth, cutlery, conveyance
     + ["carpet", "rug", "mat", "doormat", "towel", "pillow", "cushion",
-       "blanket", "sheet", "sheets", "bedsheets", "fork", "spoon",
+       "blanket", "sheet", "sheets", "fork", "spoon",
        "bicycle", "bike"]
     # round-5 second batch — single-noun-sense words whose full WN3.0
     # synset inventory is enumerable offline: mirror ⊂ reflector ⊂ device;
@@ -850,6 +859,11 @@ _MULTI_INHERITANCE = frozenset({
 _NON_LEMMA_NORMALIZATION = frozenset({
     "garbage_bin", "flower_pot", "basket_ball", "office_chair",
     "desk_lamp", "coffee_machine", "exercise_equipment", "game_console",
+    # r5 polysemy audit additions — answer strings that are not WordNet
+    # 3.0 lemmas (incl. "bedsheets", whose morphy form "bedsheet" is not
+    # in the index); all carry deliberately-generous vendored chains
+    "bedsheets", "light_switch", "ceiling_fan", "dvd_player",
+    "stuffed_animal",
 })
 # Everything else: bucket (b) — a real WordNet word whose exact 3.0
 # hypernym chain or full noun-sense inventory we could not re-derive with
