@@ -49,12 +49,22 @@ implements, publications, musical instruments, playthings, floor covers,
 bedclothes, core fauna/flora) grew the set from 53 to 140 words, a
 second round-5 batch of single-noun-sense promotions (mirror, keyboard,
 remote_control/remote, faucet, heater, tray, wallet, bathtub, wall_clock,
-stapler, vacuum_cleaner) to 152, and the round-5 polysemy audit (commode
+stapler, vacuum_cleaner) to 152, the round-5 polysemy audit (commode
 chain) promoted toilet and demoted bedsheets (a false 1.0 alias claim:
-"bedsheet" is not a WN3.0 lemma) — 152 words = 41.4% of the 367 audited
-answer-space words and 17.2% of answer pairs (rounds ≤4: 14.4% / 2.1%);
-strict tier (no known unvendored secondary sense on either side, see the
-polysemy caveat below): 124 words / 11.4% of pairs.
+"bedsheet" is not a WN3.0 lemma), and wave 6 promoted 16 more
+enumerable-inventory words (mouse, fan, sink, pitcher, hamper,
+laundry_basket, waste_basket, radiator, blind/blinds, curtain/curtains,
+shower_curtain, paper_towel, newspaper, suitcase) — 167 words = 45.5%
+of the 367 audited answer-space words and 20.7% of answer pairs (rounds
+≤4: 14.4% / 2.1%); strict tier (no known unvendored secondary sense on
+either side, see the polysemy caveat below): 125 words / 11.6% of pairs.
+Wave 6 also closed five same-synset collisions among non-exact words —
+paper ∈ newspaper.n.01 (was 0.059, is 1.0 — the largest divergence
+found), screen ∈ blind.n.03 ("blind, screen"), cloth ∈ fabric.n.01
+(now an alias), glasses → glass via morphy, suitcase ∈ bag.n.06 —
+plus bowl's dish/ball/bowlful senses, cake ("cake, patty") ⊂ dish.n.02,
+the food.n.01 substance-side chain, and two chain fixes (outlet =
+wall_socket.n.01 ⊂ receptacle; paper_towel ⊂ towel.n.01).
 No answer-frequency data exists in this zero-egress image, so no
 frequency-weighted share is claimed; the categories covered exactly
 (colors, counts, furniture, appliances, structure-adjacent objects) are
@@ -86,7 +96,10 @@ is now vendored via ``_EXTRA_SYNSETS``; some benign cases were re-verified
 ``KNOWN_UNVENDORED_SENSES`` (dog's cad/frank senses, cat's Caterpillar
 tractor, pen's female-swan, gray's horse, ...); all of those lie in the
 x0.1 downweighted regime, bounding their absolute error at ~0.02 per
-pair. ``exactness_stats`` therefore reports two tiers: ``exact_pair_pct``
+pair — with ONE flagged exception: cup's prize-cup sense, whose hypernym
+(trophy vs vessel) is not re-derivable offline, so cup-vs-trophy may be
+full-weight under real NLTK (registered, not vendored — vendoring a
+guess risks the 10x-overestimate class wave 3 fixed). ``exactness_stats`` therefore reports two tiers: ``exact_pair_pct``
 (both words' vendored chains verbatim) and ``strict_exact_pair_pct``
 (additionally, neither word has a registered unvendored sense).
 Full-inventory exactness beyond the registry is NOT claimed — verifying
@@ -237,7 +250,13 @@ _V: Dict[str, List[Chain]] = {
     "radio": [_ELEC + ("set", "receiver")],
     "telephone": [_ELEC],
     "remote_control": [_DEV],
-    "switch": [_DEV], "outlet": [_DEV], "charger": [_DEV],
+    "switch": [_DEV],
+    # the electrical outlet IS wall_socket.n.01 ("wall_socket, wall_plug,
+    # electric_outlet, electrical_outlet, outlet, electric_receptacle") ⊂
+    # receptacle.n.01 ⊂ container in WN3.0 (r5 wave 6 — rounds ≤5.5 hung
+    # it under device); tray shares the receptacle parent
+    "outlet": [_CONT + ("receptacle",)],
+    "charger": [_DEV],
     "clock": [_TIMEPIECE],
     # cable.n.02 ("cable, line, transmission_line") ⊂ conductor — a
     # SIBLING of wire.n.01, not its child (r5 audit: the wire-child chain
@@ -254,7 +273,10 @@ _V: Dict[str, List[Chain]] = {
     # kettle, boiler ⊂ pot (WN3.0)
     "kettle": [_VESSEL + ("pot",)], "vase": [_VESSEL + ("jar",)],
     "box": [_CONT], "bag": [_CONT], "basket": [_CONT],
-    "suitcase": [_CONT + ("case",)],
+    # suitcase IS bag.n.06 ("bag, traveling_bag, travelling_bag, grip,
+    # suitcase") ⊂ baggage ("baggage, luggage") ⊂ case — vendored for BOTH
+    # words in _EXTRA_SYNSETS (shared terminal -> suitcase-vs-bag = 1.0 as
+    # NLTK scores it; the old case-child chain said 0.082)
     # backpack, knapsack, rucksack ⊂ bag.n.01 (WN3.0)
     "backpack": [_CONT + ("bag",)],
     # trash_can is a lemma of ashcan.n.01 ⊂ bin (garbage_can: same synset,
@@ -468,7 +490,11 @@ _V: Dict[str, List[Chain]] = {
                        _INSTR + ("furnishing", "curtain")],
     "tablecloth": [_ART + ("fabric", "piece_of_cloth")],
     "toilet_paper": [_SHEETPAPER],
-    "paper_towel": [_SHEETPAPER],
+    # paper_towel.n.01 ("a disposable towel made of absorbent paper") ⊂
+    # towel.n.01 ⊂ piece_of_cloth in WN3.0 (wave 6 — rounds ≤5.5 put it in
+    # the sheet/paper subtree, scoring paper_towel-vs-towel ~0.06 where
+    # NLTK gives the parent/child 0.941 at full weight)
+    "paper_towel": [_ART + ("fabric", "piece_of_cloth", "towel")],
     "bath_mat": [_COVER + ("floor_cover", "mat")],
     "doormat": [_COVER + ("floor_cover", "mat")],
     "clothing": [_COVER],
@@ -481,7 +507,10 @@ _V: Dict[str, List[Chain]] = {
     "belt": [_CLOTH + ("accessory",)],
     "slippers": [_CLOTH + ("footwear", "shoe")],
     "sock": [_CLOTH + ("footwear",)],
-    "cloth": [_ART + ("fabric",)],
+    # fabric.n.01's lemmas are "fabric, cloth, material, textile" — cloth
+    # is an ALIAS (wave 6; the old fabric-child chain scored cloth-vs-towel
+    # 0.933 full weight where NLTK gives 0.857 x0.1, and cloth-vs-fabric
+    # 0.941 where NLTK gives exactly 1.0)
     "fabric": [_ART],
     # structure / fixtures
     "windowsill": [_SURFACE + ("horizontal_surface",)],
@@ -563,6 +592,7 @@ _ALIASES: Dict[str, str] = {
     # are "sheet, bed_sheet"), so the reference scores it 0.0; it carries
     # a documented-generous chain in _V instead (non-lemma bucket).
     "rug": "carpet",                 # rug.n.01: "rug, carpet, carpeting"
+    "cloth": "fabric",               # fabric.n.01: "fabric, cloth, material, textile"
     "blinds": "blind",               # morphy: blinds -> blind.n.03
     "garbage_can": "trash_can",      # ashcan.n.01: "ashcan, trash_can, garbage_can, ..."
     # plural forms (morphy lemmatizes to the singular's synsets)
@@ -630,15 +660,27 @@ _COMMODE = _PLUMB + ("toilet",)
 _MEALS = _FOOD + ("fare", "board")
 _HANDBAG = _CONT + ("bag", "handbag")
 _PAINTING = _ART + ("creation", "art", "graphic_art", "painting")
+# containerful.n.01 ⊂ indefinite_quantity ⊂ measure — the measure-side
+# senses of vessels ("the quantity a <vessel> will hold": cupful, glassful,
+# bowl.n.03)
+_CONTAINERFUL = _ABST + ("measure", "indefinite_quantity", "containerful")
+# nutriment.n.01 ⊂ food.n.01 ⊂ substance (NOT the solid-food food.n.02 ⊂
+# solid path) — dish.n.02 "a particular item of prepared food" lives here
+_NUTRIMENT = _SUBST + ("food", "nutriment")
 _EXTRA_SYNSETS: Dict[str, List[Chain]] = {
     "pot": [_COMMODE],
     "stool": [_COMMODE],
     "toy": [_ART + ("plaything",),
             _ANIMAL + ("carnivore", "canine", "dog", "toy_dog")],
     "table": [_MEALS],
-    "bag": [_HANDBAG],
+    # bag: handbag.n.01 ("bag, handbag, pocketbook, purse") AND bag.n.06
+    # (the suitcase synset — see the "suitcase" entry below)
+    "bag": [_HANDBAG, _CONT + ("case", "baggage", "traveling_bag")],
     "purse": [_HANDBAG],
-    "glass": [_DEV + ("reflector", "mirror", "looking_glass")],
+    "glass": [_DEV + ("reflector", "mirror", "looking_glass"),
+              # glassful.n.01 ("the quantity a glass will hold") ⊂
+              # containerful — cupful's sibling, mirroring cup.n.02
+              _CONTAINERFUL + ("glassful",)],
     "painting": [_PAINTING],
     "picture": [_PAINTING],
     # mantle is a lemma of curtain.n.01 ("curtain, drape, drapery, mantle,
@@ -658,8 +700,50 @@ _EXTRA_SYNSETS: Dict[str, List[Chain]] = {
     "iron": [_METAL + ("iron",)],
     # cup.n.02 (cupful) ⊂ containerful ⊂ indefinite_quantity ⊂ measure —
     # the sense that dominates cup-vs-number pairs under real NLTK
-    "cup": [_ABST + ("measure", "indefinite_quantity", "containerful",
-                     "cup")],
+    "cup": [_CONTAINERFUL + ("cup",)],
+    # wave 6 — same-synset collisions and secondary senses found by
+    # auditing the remaining non-exact words against each other:
+    # "paper" is a lemma of newspaper.n.01 ("newspaper, paper"):
+    # paper-vs-newspaper is 1.0 under NLTK (the sheet-path cross pair said
+    # 0.059 — the largest single divergence left in the module)
+    "paper": [_PAPER + ("publication", "newspaper")],
+    # blind.n.03's lemmas are "blind, screen" — the vocabulary word screen
+    # shares curtain's hypernym synset: screen-vs-blind(s) = 1.0,
+    # screen-vs-curtain = 0.941 full weight (the electronic-display chain
+    # scored both ~0.05)
+    "screen": [_COVER + ("protective_covering", "blind")],
+    # "glasses" reaches ALL of glass's senses under NLTK (morphy strips
+    # -ses -> glass) IN ADDITION to its own spectacles synset:
+    # glasses-vs-glass = 1.0, glasses-vs-mirror = 0.947 via looking_glass
+    "glasses": [_VESSEL + ("glass",),
+                _DEV + ("reflector", "mirror", "looking_glass"),
+                _CONTAINERFUL + ("glassful",)],
+    # bowl's WN3.0 sense inventory beyond the round vessel: bowl ⊂
+    # dish.n.01 ("a dish that is round and open at the top" — soup bowl:
+    # bowl-vs-dish = 0.952 FULL weight, was a 0.05 vessel/crockery cross
+    # pair), bowl ⊂ ball.n.01 ("a wooden ball used in lawn bowling":
+    # bowl-vs-ball = 0.947 full weight), and bowl.n.03 (bowlful) ⊂
+    # containerful
+    "bowl": [_TABLEWARE + ("crockery", "dish", "bowl"),
+             _EQUIP + ("game_equipment", "ball", "bowl"),
+             _CONTAINERFUL + ("bowl",)],
+    # dish.n.02 ("a particular item of prepared food") ⊂ nutriment — and
+    # cake.n.02 ("cake, patty — small flat mass of chopped food") is its
+    # CHILD: cake-vs-dish = 0.933 full weight under NLTK (the crockery/
+    # baked_goods cross pair said ~0.03)
+    "dish": [_NUTRIMENT + ("dish",)],
+    "cake": [_NUTRIMENT + ("dish", "cake")],
+    # food.n.01 ("any substance that can be metabolized...") ⊂ substance —
+    # the parent of nutriment and beverage; vendoring it lets
+    # dish/cake/beverage pairs against "food" ride the real LCS
+    "food": [_SUBST + ("food",)],
+    # bag.n.06 ("bag, traveling_bag, travelling_bag, grip, suitcase") ⊂
+    # baggage ⊂ case — the suitcase sense of "bag" and the ONLY WN3.0
+    # synset of "suitcase": the two words share it, so the pair is 1.0.
+    # The distinct terminal keeps bag.n.06 separate from bag.n.01 (a
+    # single "bag" terminal would falsely give suitcase-vs-purse the
+    # handbag path).
+    "suitcase": [_CONT + ("case", "baggage", "traveling_bag")],
     "kettle": [_DEV + ("musical_instrument", "percussion_instrument",
                        "kettledrum")],
     "dog": [_DEV + ("support", "andiron")],
@@ -746,7 +830,25 @@ _EXACT = frozenset(
     # round-5 polysemy audit: toilet's primary chain is the verbatim
     # commode synset ⊂ plumbing_fixture ⊂ fixture (its room/grooming
     # senses are registered in KNOWN_UNVENDORED_SENSES)
-    + ["toilet"])
+    + ["toilet"]
+    # wave 6 — words whose full WN3.0 noun-sense inventory is enumerable
+    # offline and whose vendored chains are verbatim; every secondary
+    # sense is either vendored or registered in KNOWN_UNVENDORED_SENSES:
+    # mouse (electronic_device + rodent chains both vendored), fan ⊂
+    # device, sink ⊂ plumbing_fixture, pitcher ("pitcher, ewer" ⊂ vessel),
+    # hamper ⊂ basket, clothes_hamper (lemma laundry_basket) ⊂ hamper,
+    # wastepaper_basket (lemma waste_basket) ⊂ basket, radiator ⊂ heater,
+    # blind/blinds = blind.n.03 ⊂ protective_covering, curtain/curtains ⊂
+    # {blind.n.03, furnishing.n.02} (BOTH real hypernyms vendored),
+    # shower_curtain ⊂ curtain, paper_towel ⊂ towel, newspaper ⊂
+    # publication
+    + ["mouse", "fan", "sink", "pitcher", "hamper", "laundry_basket",
+       "waste_basket", "radiator", "blind", "blinds", "curtain",
+       "curtains", "shower_curtain", "paper_towel", "newspaper",
+       # suitcase's ONLY WN3.0 synset is bag.n.06 ("bag, traveling_bag,
+       # travelling_bag, grip, suitcase" ⊂ baggage ⊂ case), vendored for
+       # both words -> suitcase-vs-bag = 1.0
+       "suitcase"])
 
 
 def provenance(word: str) -> str:
@@ -765,10 +867,11 @@ def provenance(word: str) -> str:
 # The reference maxes over ALL noun synsets, so a word's score can ride a
 # slang or technical sense this module does not vendor. Each entry below is
 # a WordNet 3.0 sense we know exists but chose not to vendor; for every one
-# the affected pairs lie in the sub-threshold x0.1 regime (max absolute
-# error ≤ ~0.09 before downweight, ≤ ~0.009..0.02 after), because every
-# full-magnitude (≥ 0.925) case found by the audit IS vendored in
-# ``_EXTRA_SYNSETS``. A word appearing here can still be ``_EXACT`` — its
+# EXCEPT the explicitly-flagged cup prize-sense entry, the affected pairs
+# lie in the sub-threshold x0.1 regime (max absolute error ≤ ~0.09 before
+# downweight, ≤ ~0.009..0.02 after), because every full-magnitude
+# (≥ 0.925) case found by the audit whose chain IS derivable offline is
+# vendored in ``_EXTRA_SYNSETS``. A word appearing here can still be ``_EXACT`` — its
 # vendored chains are verbatim — but pairs against the named subtrees may
 # UNDERESTIMATE real NLTK within the downweighted regime.
 # tools/audit_wups_vs_nltk.py verifies this registry on a corpus-ful host.
@@ -818,6 +921,48 @@ KNOWN_UNVENDORED_SENSES: Dict[str, Tuple[str, ...]] = {
               "white-vs-black; person subtree otherwise)",),
     "ball": ("formal-dance sense ⊂ party (event subtree)",
              "testis body-part sense"),
+    # the ONE registry entry NOT bounded to the x0.1 regime (see the
+    # module docstring): cup's prize-cup sense ("a large metal vessel
+    # with two handles that is awarded as a trophy") has a hypernym we
+    # cannot re-derive offline — if it is trophy, cup-vs-trophy is ~0.93
+    # FULL weight under real NLTK; if it is vessel, the pair stays x0.1.
+    # Vendoring either guess risks the 10x-overestimate class wave 3
+    # fixed, so it is registered honestly instead.
+    "cup": ("prize-cup sense — hypernym underivable offline (trophy -> "
+            "full-weight cup-vs-trophy, vessel -> x0.1); NOT x0.1-bounded",
+            "golf-hole cup sense (x0.1)"),
+    # wave-6 promotions — each promoted word's remaining senses:
+    "mouse": ("black-eye/shiner sense ⊂ bruise (injury subtree)",
+              "timid-person sense (person subtree)"),
+    "fan": ("enthusiast/devotee person senses ⊂ person subtree "
+            "(sub-threshold vs person/man/woman/child)",),
+    "sink": ("sinkhole ⊂ natural_depression (natural_object side)",
+             "cesspool/sump sense (possibly the cistern/tank subtree — "
+             "x0.1 vs vessels)",
+             "(technology) energy-sink process sense (abstraction side)"),
+    "pitcher": ("ballplayer sense ⊂ person subtree",
+                "pitcherful ⊂ containerful (x0.1 vs cupful/glassful)",
+                "pitcher-plant leaf sense ⊂ plant_organ "
+                "(natural_object side)"),
+    "hamper": ("restraint/shackle sense ⊂ restraint ⊂ device "
+               "(x0.1 vs device words)",),
+    "radiator": ("car-radiator sense ⊂ cooling_system (device/mechanism "
+                 "subtree, x0.1)",),
+    "curtain": ("curtain.n.02 'barrier to communication or vision' ⊂ "
+                "barrier (x0.1 vs door/railing/banister)",),
+    "blind": ("subterfuge sense (abstraction side)",
+              "'the blind' people sense ⊂ people (group subtree)"),
+    "newspaper": ("publisher-firm sense (group subtree)",
+                  "newsprint sense ⊂ paper material (substance side)",
+                  "physical single-copy sense ⊂ product (x0.1 vs "
+                  "publications)"),
+    # registry back-fill on words exact since earlier waves:
+    "magazine": ("gun cartridge-holder sense ⊂ supply_chamber (x0.1)",
+                 "powder-store and publisher-business senses"),
+    "basket": ("basketball-hoop sense ⊂ goal (game_equipment subtree, "
+               "x0.1 vs ball)", "basketful ⊂ containerful"),
+    "bottle": ("bottleful ⊂ containerful (x0.1 vs cupful/glassful)",),
+    "bucket": ("bucketful ⊂ containerful (x0.1)",),
 }
 
 

@@ -322,7 +322,10 @@ def test_wups_wordnet_exact_value_table():
         # containers: tray ⊂ receptacle(8); wallet ⊂ case(8); bathtub ⊂
         # vessel(8)
         ("tray", "box", 2 * 7 / 17 * 0.1),
-        ("wallet", "bag", 2 * 7 / 17 * 0.1),
+        # wallet ⊂ case; bag's bag.n.06 (suitcase) sense ⊂ baggage ⊂ case
+        # moves the LCS from container to case (wave 6 — the real NLTK
+        # LCS: both live under case.n.05)
+        ("wallet", "bag", 2 * 8 / 19 * 0.1),
         ("wallet", "backpack", 2 * 7 / 18 * 0.1),
         ("bathtub", "bucket", 2 * 8 / 18 * 0.1),
         # timepieces: wall_clock ⊂ clock(11)
@@ -401,6 +404,51 @@ def test_wups_wordnet_exact_value_table():
         ("belt", "clothing", 2 * 7 / 16 * 0.1),
         ("waste_basket", "basket", 2 * 8 / 17),
         ("laundry_basket", "hamper", 2 * 9 / 19),
+        # =========== wave-6 same-synset collisions ========================
+        # "paper" is a newspaper.n.01 lemma ("newspaper, paper") — the
+        # sheet-path cross pair said 0.059, the largest divergence found
+        ("paper", "newspaper", 1.0),
+        ("papers", "newspaper", 1.0),        # plural alias rides along
+        # blind.n.03's lemmas are "blind, screen": screen shares curtain's
+        # hypernym synset
+        ("screen", "blind", 1.0),
+        ("screen", "blinds", 1.0),           # morphy: blinds -> blind.n.03
+        ("screen", "curtain", 2 * 8 / 17),   # parent/child, full weight
+        ("mantle", "screen", 2 * 8 / 17),    # mantle ∈ curtain.n.01 ⊂ blind
+        # fabric.n.01 lemmas: "fabric, cloth, material, textile" — cloth is
+        # now an alias (the old child chain said 0.941)
+        ("cloth", "fabric", 1.0),
+        # ...which also FIXES towel-vs-cloth: NLTK scores it through fabric
+        # at 0.857 x0.1, not the old piece_of_cloth-sibling 0.933 full
+        ("towel", "cloth", 2 * 6 / 14 * 0.1),
+        # "glasses" reaches glass's senses via morphy (-ses -> glass) in
+        # addition to its spectacles synset
+        ("glasses", "glass", 1.0),
+        ("glasses", "mirror", 2 * 9 / 19),   # via looking_glass, full weight
+        # =========== wave-6 secondary senses ==============================
+        # bowl ⊂ dish.n.01 (soup bowl) and bowl ⊂ ball.n.01 (lawn bowls) —
+        # both parent/child at full weight (the vessel chain said ~0.05)
+        ("bowl", "dish", 2 * 10 / 21),
+        ("bowl", "ball", 2 * 9 / 19),
+        # cake.n.02 ("cake, patty") ⊂ dish.n.02 ⊂ nutriment: full weight
+        ("cake", "dish", 2 * 7 / 15),
+        # food.n.01 ⊂ substance is nutriment's parent: dish-vs-food rides
+        # the real LCS in the x0.1 regime
+        ("food", "dish", 2 * 5 / 12 * 0.1),
+        # glassful/cupful are containerful siblings (x0.1)
+        ("glass", "cup", 2 * 5 / 12 * 0.1),
+        # =========== wave-6 chain fixes ===================================
+        # paper_towel.n.01 ⊂ towel.n.01 (was sheet/paper subtree, ~0.06)
+        ("paper_towel", "towel", 2 * 8 / 17),
+        # outlet IS wall_socket.n.01 ⊂ receptacle ⊂ container — tray's
+        # sibling (was hung under device)
+        ("outlet", "tray", 2 * 8 / 18 * 0.1),
+        # suitcase's ONLY synset is bag.n.06 ("bag, traveling_bag,
+        # travelling_bag, grip, suitcase" ⊂ baggage ⊂ case): shared with
+        # bag -> 1.0; purse rides bag.n.01/handbag, NOT bag.n.06, so
+        # suitcase-vs-purse stays a x0.1 container cross pair
+        ("suitcase", "bag", 1.0),
+        ("suitcase", "purse", 2 * 7 / 19 * 0.1),
     ]
     assert len(cases) >= 100, len(cases)
     for a, b, want in cases:
@@ -426,14 +474,17 @@ def test_wups_provenance_api():
         assert mw.provenance(w) != "oov", w
     stats = mw.exactness_stats(words)
     # round-5 subtree derivation (53 -> 140) + single-noun-sense batch
-    # (-> 152) + polysemy-audit toilet promotion (-> 153 exact words;
-    # module docstring); the strict tier excludes exact words carrying a
+    # (-> 152) + polysemy-audit toilet promotion/bedsheets demotion + the
+    # wave-6 enumerable-inventory batch (mouse/fan/sink/pitcher/hamper/
+    # laundry_basket/waste_basket/radiator/blinds/curtain(s)/
+    # shower_curtain/paper_towel/newspaper -> 166 exact words; module
+    # docstring); the strict tier excludes exact words carrying a
     # KNOWN_UNVENDORED_SENSES entry
-    assert stats["exact_words"] == 152
-    assert stats["exact_word_pct"] == pytest.approx(41.42, abs=0.01)
-    assert stats["exact_pair_pct"] == pytest.approx(17.15, abs=0.01)
-    assert stats["sense_complete_exact_words"] == 124
-    assert stats["strict_exact_pair_pct"] == pytest.approx(11.42, abs=0.01)
+    assert stats["exact_words"] == 167
+    assert stats["exact_word_pct"] == pytest.approx(45.50, abs=0.01)
+    assert stats["exact_pair_pct"] == pytest.approx(20.71, abs=0.01)
+    assert stats["sense_complete_exact_words"] == 125
+    assert stats["strict_exact_pair_pct"] == pytest.approx(11.60, abs=0.01)
 
 
 def test_wups_every_non_exact_word_has_a_documented_reason():

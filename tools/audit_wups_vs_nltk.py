@@ -65,6 +65,13 @@ SAME_SYNSET_CLAIMS = [
     ("board", "dining_table"),    # dining_table.n.01 ("dining_table, board")
     ("counter", "sideboard"),     # buffet.n.01 ("buffet, counter, sideboard")
     ("file", "file_cabinet"),     # file.n.03 ("file, file_cabinet, ...")
+    # wave 6:
+    ("paper", "newspaper"),       # newspaper.n.01 ("newspaper, paper")
+    ("screen", "blind"),          # blind.n.03 ("blind, screen")
+    ("screen", "blinds"),         # morphy: blinds -> blind.n.03
+    ("cloth", "fabric"),          # fabric.n.01 ("fabric, cloth, material, textile")
+    ("glasses", "glass"),         # morphy: glasses -> glass (all senses)
+    ("suitcase", "bag"),          # bag.n.06 ("bag, traveling_bag, ..., suitcase")
 ]
 # ... and vendored cross-synset secondary senses that clear the 0.925
 # full-weight line (toy ⊂ dog via toy_dog; glass ⊂ mirror via
@@ -72,6 +79,13 @@ SAME_SYNSET_CLAIMS = [
 FULL_WEIGHT_CLAIMS = [
     ("toy", "dog"), ("glass", "mirror"), ("curtain", "blinds"),
     ("mantle", "shelf"), ("shower_curtain", "curtain"),
+    # wave 6: screen = blind.n.03 is curtain's hypernym (and mantle is a
+    # curtain.n.01 lemma); glasses reaches looking_glass via morphy; bowl
+    # ⊂ dish.n.01 and ⊂ ball.n.01; cake ("cake, patty") ⊂ dish.n.02;
+    # paper_towel ⊂ towel.n.01
+    ("screen", "curtain"), ("mantle", "screen"), ("glasses", "mirror"),
+    ("bowl", "dish"), ("bowl", "ball"), ("cake", "dish"),
+    ("paper_towel", "towel"),
 ]
 
 
